@@ -1,0 +1,406 @@
+"""Jittable ODE integration with three differentiation strategies.
+
+Replaces the reference's solver layer — OrdinaryDiffEq `solve(..., Tsit5())`
++ Zygote backprop-through-the-solver (`LV_driver_KANODE.jl:180-184,284`) and
+torchdiffeq `odeint` / `odeint_adjoint` (`predator_prey.py:142`,
+`predator_prey_adjoint.py:5,142`) — with TPU-native `lax` control flow:
+
+  * `odeint_fixed`   — fixed-grid RK via `lax.scan`; exact reverse AD through
+                       every stage (discretize-then-optimize). The default
+                       training path: static shapes, zero host syncs, and the
+                       whole solve fuses into one XLA loop.
+  * `odeint`         — adaptive embedded RK (Tsit5 default) with a PI-style
+                       step controller.
+                       adjoint="direct":    bounded `lax.scan` over
+                           `max_steps`, reverse-differentiable (the analogue
+                           of Zygote through the adaptive loop);
+                       adjoint="backsolve": `lax.while_loop` forward +
+                           `custom_vjp` continuous adjoint integrating the
+                           augmented system backwards (torchdiffeq
+                           `odeint_adjoint` equivalent, O(1) memory);
+                       adjoint="none":      `lax.while_loop`, no gradients —
+                           fastest; for data generation and inference.
+
+Conventions (torchdiffeq-style): `rhs(t, y, args)`, `ts` strictly monotone
+with `ts[0]` the initial time, outputs stacked along a leading time axis,
+`y` may be any pytree of arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from kanodes_tpu.ode.tableaus import Tableau, get_tableau
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# pytree arithmetic helpers
+# ---------------------------------------------------------------------------
+
+def _tmap(f, *trees):
+    return jax.tree_util.tree_map(f, *trees)
+
+
+def _zeros_like(tree):
+    return _tmap(jnp.zeros_like, tree)
+
+
+def _weighted_sum(coeffs, trees):
+    """sum_i coeffs[i] * trees[i] over pytrees (skipping zero coeffs)."""
+    acc = None
+    for c, tr in zip(coeffs, trees):
+        if c == 0.0:
+            continue
+        term = _tmap(lambda x: c * x, tr)
+        acc = term if acc is None else _tmap(jnp.add, acc, term)
+    if acc is None:
+        acc = _zeros_like(trees[0])
+    return acc
+
+
+def _axpy(a, x, y):
+    """y + a * x elementwise over pytrees (a scalar, possibly traced)."""
+    return _tmap(lambda xi, yi: yi + a * xi, x, y)
+
+
+def _where_tree(pred, a, b):
+    return _tmap(lambda ai, bi: jnp.where(pred, ai, bi), a, b)
+
+
+def error_norm(err, y0, y1, rtol, atol) -> Array:
+    """Hairer mixed-tolerance RMS norm of the local error estimate."""
+    sq = 0.0
+    n = 0
+    for e, a, b in zip(jax.tree_util.tree_leaves(err),
+                       jax.tree_util.tree_leaves(y0),
+                       jax.tree_util.tree_leaves(y1)):
+        scale = atol + rtol * jnp.maximum(jnp.abs(a), jnp.abs(b))
+        sq = sq + jnp.sum((e / scale) ** 2)
+        n += e.size
+    return jnp.sqrt(sq / n)
+
+
+# ---------------------------------------------------------------------------
+# single explicit RK step
+# ---------------------------------------------------------------------------
+
+def rk_step(tab: Tableau, f: Callable, t, y, dt, args, k1=None):
+    """One explicit RK step.
+
+    Returns (y1, err, k_last, k_first) where `err` is the embedded error
+    estimate (None if the tableau has none) and `k_last` is f(t+dt, y1) for
+    FSAL tableaus (reusable as the next step's k1).
+    """
+    ks = [k1 if k1 is not None else f(t, y, args)]
+    for i in range(1, tab.stages):
+        yi = _tmap(lambda base, inc: base + dt * inc, y,
+                   _weighted_sum(tab.a[i], ks))
+        ks.append(f(t + tab.c[i] * dt, yi, args))
+    y1 = _tmap(lambda base, inc: base + dt * inc, y, _weighted_sum(tab.b, ks))
+    err = None
+    if tab.b_err is not None:
+        err = _tmap(lambda e: dt * e, _weighted_sum(tab.b_err, ks))
+    k_last = ks[-1] if tab.fsal else None
+    return y1, err, k_last
+
+
+# ---------------------------------------------------------------------------
+# fixed-grid integration (lax.scan — exact reverse AD)
+# ---------------------------------------------------------------------------
+
+def odeint_fixed(f: Callable, y0, ts: Array, args=None, *,
+                 solver: str | Tableau = "tsit5", substeps: int = 1):
+    """Integrate on the save grid `ts` with `substeps` equal RK steps per
+    interval. Fully reverse-differentiable; O(T * substeps) tape via scan.
+
+    This is the fast TPU training path: for smooth non-stiff problems a
+    5th-order step per save interval already integrates below model error,
+    and the whole solve is one fused on-device loop.
+    """
+    tab = get_tableau(solver)
+    ts = jnp.asarray(ts)
+
+    def interval(carry, t_pair):
+        y = carry
+        t0, t1 = t_pair
+        h = (t1 - t0) / substeps
+
+        def sub(y, i):
+            t = t0 + i * h
+            y1, _, _ = rk_step(tab, f, t, y, h, args)
+            return y1, None
+
+        y, _ = lax.scan(sub, y, jnp.arange(substeps))
+        return y, y
+
+    _, ys = lax.scan(interval, y0, (ts[:-1], ts[1:]))
+    # prepend y0 at ts[0]
+    return _tmap(lambda a, b: jnp.concatenate([a[None], b], axis=0), y0, ys)
+
+
+# ---------------------------------------------------------------------------
+# adaptive step controller
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class StepController:
+    safety: float = 0.9
+    min_factor: float = 0.2
+    max_factor: float = 10.0
+    dt_min: float = 1e-10
+
+    def factor(self, err_nrm: Array, order: int) -> Array:
+        # guard err == 0 -> max growth
+        e = jnp.maximum(err_nrm, 1e-12)
+        fac = self.safety * e ** (-1.0 / order)
+        return jnp.clip(fac, self.min_factor, self.max_factor)
+
+
+def initial_dt(f, t0, y0, args, order, rtol, atol, tdir) -> Array:
+    """Hairer-Wanner starting step heuristic (simplified)."""
+    f0 = f(t0, y0, args)
+
+    def nrm(tree):
+        sq, n = 0.0, 0
+        for leaf, yref in zip(jax.tree_util.tree_leaves(tree),
+                              jax.tree_util.tree_leaves(y0)):
+            sc = atol + rtol * jnp.abs(yref)
+            sq = sq + jnp.sum((leaf / sc) ** 2)
+            n += leaf.size
+        return jnp.sqrt(sq / n)
+
+    d0, d1 = nrm(y0), nrm(f0)
+    h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
+    y1 = _axpy(tdir * h0, f0, y0)
+    f1 = f(t0 + tdir * h0, y1, args)
+    d2 = nrm(_tmap(jnp.subtract, f1, f0)) / h0
+    dmax = jnp.maximum(d1, d2)
+    h1 = jnp.where(dmax <= 1e-15,
+                   jnp.maximum(1e-6, h0 * 1e-3),
+                   (0.01 / dmax) ** (1.0 / (order + 1)))
+    return jnp.minimum(100.0 * h0, h1)
+
+
+# ---------------------------------------------------------------------------
+# adaptive integration — shared step logic
+# ---------------------------------------------------------------------------
+
+def _flat_len(tree) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(tree))
+
+
+def _adaptive_step(tab, f, args, rtol, atol, ctrl, ts, state):
+    """One controller iteration: try a step (clipped to the next save time),
+    accept/reject, record saves. `state` is a dict; everything is masked by
+    `state["done"]` so this body is safe to run as a no-op after finishing.
+    """
+    t, y, dt, k1 = state["t"], state["y"], state["dt"], state["k1"]
+    save_idx, ys = state["save_idx"], state["ys"]
+    done = state["done"]
+    tdir = state["tdir"]
+
+    t_save = ts[jnp.minimum(save_idx, ts.shape[0] - 1)]
+    remaining = (t_save - t) * tdir                    # > 0 while not done
+    hit = dt >= remaining
+    dt_used = jnp.where(hit, remaining, dt)
+
+    y1, err, k_last = rk_step(tab, f, t, y, tdir * dt_used, args, k1=k1)
+    err_nrm = lax.stop_gradient(error_norm(err, y, y1, rtol, atol))
+    accept = (err_nrm <= 1.0) | (dt_used <= ctrl.dt_min)
+    fac = ctrl.factor(err_nrm, tab.order)
+    dt_next = jnp.maximum(dt_used * fac, ctrl.dt_min)
+
+    step_ok = accept & ~done
+    t_new = jnp.where(step_ok, jnp.where(hit, t_save, t + tdir * dt_used), t)
+    y_new = _where_tree(step_ok, y1, y)
+    k1_new = _where_tree(step_ok, k_last, k1)
+    saved = step_ok & hit
+
+    def _record(buf, val):
+        # out-of-range save_idx (after done) clamps and rewrites the old value
+        old = lax.dynamic_index_in_dim(buf, save_idx, 0, keepdims=False)
+        return lax.dynamic_update_index_in_dim(
+            buf, jnp.where(saved, val, old), save_idx, 0)
+
+    ys_new = _tmap(_record, ys, y1)
+    save_idx_new = save_idx + saved.astype(save_idx.dtype)
+    done_new = done | (save_idx_new >= ts.shape[0])
+
+    return {
+        "t": t_new, "y": y_new, "dt": jnp.where(done, dt, dt_next),
+        "k1": k1_new, "save_idx": save_idx_new, "ys": ys_new,
+        "done": done_new, "tdir": tdir,
+        "n_accept": state["n_accept"] + step_ok.astype(jnp.int32),
+        "n_reject": state["n_reject"] + (~accept & ~done).astype(jnp.int32),
+        "n_iter": state["n_iter"] + (~done).astype(jnp.int32),
+    }
+
+
+def _init_state(tab, f, y0, ts, args, rtol, atol, dt0):
+    t0 = ts[0]
+    tdir = jnp.sign(ts[-1] - ts[0])
+    if dt0 is None:
+        dt = initial_dt(f, t0, y0, args, tab.order, rtol, atol, tdir)
+    else:
+        dt = jnp.asarray(dt0, dtype=jnp.result_type(ts))
+    k1 = f(t0, y0, args)
+    T = ts.shape[0]
+    ys = _tmap(lambda x: jnp.zeros((T,) + x.shape, x.dtype)
+               .at[0].set(x), y0)
+    return {
+        "t": t0, "y": y0, "dt": dt, "k1": k1,
+        "save_idx": jnp.asarray(1, jnp.int32), "ys": ys,
+        "done": jnp.asarray(T <= 1), "tdir": tdir,
+        "n_accept": jnp.asarray(0, jnp.int32),
+        "n_reject": jnp.asarray(0, jnp.int32),
+        "n_iter": jnp.asarray(0, jnp.int32),
+    }
+
+
+def _adaptive_while(tab, f, y0, ts, args, rtol, atol, dt0, max_steps, ctrl):
+    state = _init_state(tab, f, y0, ts, args, rtol, atol, dt0)
+
+    def cond(s):
+        return (~s["done"]) & (s["n_iter"] < max_steps)
+
+    def body(s):
+        return _adaptive_step(tab, f, args, rtol, atol, ctrl, ts, s)
+
+    return lax.while_loop(cond, body, state)
+
+
+def _adaptive_scan(tab, f, y0, ts, args, rtol, atol, dt0, max_steps, ctrl):
+    state = _init_state(tab, f, y0, ts, args, rtol, atol, dt0)
+
+    def body(s, _):
+        return _adaptive_step(tab, f, args, rtol, atol, ctrl, ts, s), None
+
+    state, _ = lax.scan(body, state, None, length=max_steps)
+    return state
+
+
+@dataclasses.dataclass
+class SolveStats:
+    n_accept: Any
+    n_reject: Any
+    n_iter: Any
+    success: Any
+
+
+def odeint(f: Callable, y0, ts: Array, args=None, *,
+           solver: str | Tableau = "tsit5",
+           rtol: float = 1e-3, atol: float = 1e-6,
+           dt0: float | None = None, max_steps: int = 4096,
+           adjoint: str = "backsolve",
+           controller: StepController = StepController(),
+           return_stats: bool = False):
+    """Adaptive ODE solve at save times `ts` (torchdiffeq-compatible shape).
+
+    adjoint:
+      "direct"    exact reverse AD through the (bounded-scan) adaptive loop;
+      "backsolve" continuous adjoint custom_vjp (O(1) memory);
+      "none"      while_loop, fastest, not differentiable.
+
+    Default tolerances mirror the reference's OrdinaryDiffEq defaults
+    (reltol 1e-3 / abstol 1e-6).
+    """
+    tab = get_tableau(solver)
+    if tab.b_err is None:
+        raise ValueError(f"solver {tab.name!r} has no embedded error "
+                         "estimate; use odeint_fixed")
+    if not tab.fsal:
+        raise ValueError("adaptive path requires an FSAL tableau "
+                         "(tsit5/dopri5/bs3)")
+    ts = jnp.asarray(ts)
+
+    if adjoint == "none":
+        st = _adaptive_while(tab, f, y0, ts, args, rtol, atol, dt0,
+                             max_steps, controller)
+    elif adjoint == "direct":
+        st = _adaptive_scan(tab, f, y0, ts, args, rtol, atol, dt0,
+                            max_steps, controller)
+    elif adjoint == "backsolve":
+        if return_stats:
+            raise ValueError("return_stats unsupported with backsolve")
+        return _odeint_backsolve(f, tab, rtol, atol, max_steps, controller,
+                                 y0, ts, args)
+    else:
+        raise ValueError(f"unknown adjoint {adjoint!r}")
+
+    if return_stats:
+        stats = SolveStats(st["n_accept"], st["n_reject"], st["n_iter"],
+                           st["done"])
+        return st["ys"], stats
+    return st["ys"]
+
+
+def odeint_adjoint(f, y0, ts, args=None, **kw):
+    """torchdiffeq `odeint_adjoint` equivalent (continuous backsolve)."""
+    kw["adjoint"] = "backsolve"
+    return odeint(f, y0, ts, args, **kw)
+
+
+# ---------------------------------------------------------------------------
+# continuous (backsolve) adjoint — custom_vjp
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _odeint_backsolve(f, tab, rtol, atol, max_steps, ctrl, y0, ts, args):
+    st = _adaptive_while(tab, f, y0, ts, args, rtol, atol, None,
+                         max_steps, ctrl)
+    return st["ys"]
+
+
+def _backsolve_fwd(f, tab, rtol, atol, max_steps, ctrl, y0, ts, args):
+    ys = _odeint_backsolve(f, tab, rtol, atol, max_steps, ctrl, y0, ts, args)
+    return ys, (ys, ts, args)
+
+
+def _backsolve_bwd(f, tab, rtol, atol, max_steps, ctrl, res, ys_bar):
+    ys, ts, args = res
+    T = ts.shape[0]
+
+    def aug_dyn(t, aug, _):
+        y, a_y, _a_args = aug
+
+        def fy(y_, args_):
+            return f(t, y_, args_)
+
+        f_val, vjp = jax.vjp(fy, y, args)
+        y_bar, args_bar = vjp(a_y)
+        return (f_val,
+                _tmap(jnp.negative, y_bar),
+                _tmap(jnp.negative, args_bar))
+
+    def segment(carry, idx):
+        # idx runs T-1 .. 1 ; integrate from ts[idx] back to ts[idx-1]
+        a_y, a_args = carry
+        y_i = _tmap(lambda b: b[idx], ys)
+        g_i = _tmap(lambda b: b[idx], ys_bar)
+        a_y = _tmap(jnp.add, a_y, g_i)
+        aug0 = (y_i, a_y, a_args)
+        seg_ts = jnp.stack([ts[idx], ts[idx - 1]])
+        st = _adaptive_while(tab, aug_dyn, aug0, seg_ts, None,
+                             rtol, atol, None, max_steps, ctrl)
+        aug1 = _tmap(lambda b: b[1], st["ys"])
+        _, a_y, a_args = aug1
+        return (a_y, a_args), None
+
+    a_y0 = _zeros_like(_tmap(lambda b: b[0], ys))
+    a_args0 = _zeros_like(args)
+    (a_y, a_args), _ = lax.scan(segment, (a_y0, a_args0),
+                                jnp.arange(T - 1, 0, -1))
+    g_0 = _tmap(lambda b: b[0], ys_bar)
+    a_y = _tmap(jnp.add, a_y, g_0)
+    return a_y, jnp.zeros_like(ts), a_args
+
+
+_odeint_backsolve.defvjp(_backsolve_fwd, _backsolve_bwd)

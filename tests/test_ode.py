@@ -1,0 +1,192 @@
+"""ODE solver stack: convergence order, adaptive accuracy vs analytic
+solutions, gradient fidelity (direct vs backsolve vs finite differences)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kanodes_tpu.ode import odeint, odeint_fixed
+from kanodes_tpu.ode.integrate import StepController
+
+
+# -- analytic problems -------------------------------------------------------
+
+def linear_rhs(t, y, args):
+    return args * y          # y(t) = y0 exp(a t)
+
+
+def cosine_rhs(t, y, args):
+    return jnp.cos(t)        # y(t) = y0 + sin(t)
+
+
+def lv_rhs(t, y, args):
+    # Lotka-Volterra, truth params of the reference (LV_driver_KANODE.jl:116)
+    alpha, beta, gamma, delta = args
+    x, z = y[0], y[1]
+    return jnp.stack([alpha * x - beta * x * z,
+                      gamma * x * z - delta * z])
+
+
+LV_ARGS = jnp.asarray([1.5, 1.0, 1.0, 3.0])
+LV_Y0 = jnp.asarray([1.0, 1.0])
+
+
+# -- fixed-step --------------------------------------------------------------
+
+@pytest.mark.parametrize("solver,order", [("rk4", 4), ("tsit5", 5),
+                                          ("heun", 2)])
+def test_fixed_step_convergence_order(solver, order):
+    ts = jnp.asarray([0.0, 1.0])
+    a = jnp.asarray(-1.0)
+    exact = jnp.exp(-1.0)
+    errs = []
+    # coarse steps: fine grids underflow the f32 error floor
+    for substeps in (1, 2):
+        ys = odeint_fixed(linear_rhs, jnp.asarray(1.0), ts, a,
+                          solver=solver, substeps=substeps)
+        errs.append(abs(float(ys[-1]) - float(exact)))
+    rate = np.log2(errs[0] / max(errs[1], 1e-12))
+    assert rate > order - 0.7, (solver, errs, rate)
+
+
+def test_fixed_step_multi_save_points():
+    ts = jnp.linspace(0.0, 2.0, 21)
+    ys = odeint_fixed(cosine_rhs, jnp.asarray(0.5), ts, None, substeps=2)
+    np.testing.assert_allclose(ys, 0.5 + np.sin(ts), rtol=1e-5, atol=1e-6)
+
+
+def test_fixed_step_pytree_state():
+    ts = jnp.linspace(0.0, 1.0, 5)
+
+    def rhs(t, y, args):
+        return {"a": -y["a"], "b": 2 * y["b"]}
+
+    ys = odeint_fixed(rhs, {"a": jnp.asarray(1.0), "b": jnp.asarray(1.0)},
+                      ts, None, substeps=4)
+    np.testing.assert_allclose(ys["a"], np.exp(-ts), rtol=1e-5)
+    np.testing.assert_allclose(ys["b"], np.exp(2 * ts), rtol=1e-4)
+
+
+# -- adaptive ----------------------------------------------------------------
+
+@pytest.mark.parametrize("adjoint", ["none", "direct", "backsolve"])
+def test_adaptive_lv_accuracy(adjoint):
+    ts = jnp.linspace(0.0, 3.5, 36)
+    ys = odeint(lv_rhs, LV_Y0, ts, LV_ARGS, rtol=1e-8, atol=1e-10,
+                max_steps=2000, adjoint=adjoint)
+    # reference = very fine fixed-step RK4
+    ys_ref = odeint_fixed(lv_rhs, LV_Y0, ts, LV_ARGS, solver="rk4",
+                          substeps=200)
+    np.testing.assert_allclose(ys, ys_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_adaptive_stats_and_rejections():
+    ts = jnp.linspace(0.0, 3.5, 8)
+    ys, stats = odeint(lv_rhs, LV_Y0, ts, LV_ARGS, rtol=1e-6, atol=1e-8,
+                       adjoint="none", return_stats=True)
+    assert bool(stats.success)
+    assert int(stats.n_accept) >= 7
+    assert int(stats.n_iter) < 4096
+
+
+def test_adaptive_tolerance_scaling():
+    ts = jnp.asarray([0.0, 3.5])
+    ref = odeint_fixed(lv_rhs, LV_Y0, ts, LV_ARGS, solver="rk4", substeps=500)
+    errs = []
+    for rtol in (1e-4, 1e-7):
+        ys = odeint(lv_rhs, LV_Y0, ts, LV_ARGS, rtol=rtol, atol=rtol * 1e-2,
+                    adjoint="none")
+        errs.append(float(jnp.abs(ys[-1] - ref[-1]).max()))
+    assert errs[1] < errs[0]
+    assert errs[1] < 1e-5
+
+
+def test_backward_time_integration():
+    ts = jnp.asarray([1.0, 0.0])
+    ys = odeint(linear_rhs, jnp.asarray(jnp.e), ts, jnp.asarray(1.0),
+                rtol=1e-8, atol=1e-10, adjoint="none")
+    np.testing.assert_allclose(float(ys[-1]), 1.0, rtol=1e-5)
+
+
+# -- gradients ---------------------------------------------------------------
+
+def _loss_fn(adjoint):
+    ts = jnp.linspace(0.0, 1.5, 6)
+    target = odeint_fixed(lv_rhs, LV_Y0, ts, LV_ARGS, solver="rk4",
+                          substeps=100)
+
+    def loss(args):
+        ys = odeint(lv_rhs, LV_Y0, ts, args, rtol=1e-7, atol=1e-9,
+                    max_steps=512, adjoint=adjoint)
+        return jnp.mean((ys - target) ** 2)
+
+    return loss
+
+
+def test_gradient_direct_vs_backsolve_vs_fd():
+    args = jnp.asarray([1.4, 1.1, 0.9, 2.8])
+    g_direct = jax.grad(_loss_fn("direct"))(args)
+    g_back = jax.grad(_loss_fn("backsolve"))(args)
+    np.testing.assert_allclose(g_direct, g_back, rtol=1e-3, atol=1e-6)
+
+    # central finite differences
+    loss = _loss_fn("direct")
+    eps = 1e-4
+    fd = []
+    for i in range(4):
+        e = jnp.zeros(4).at[i].set(eps)
+        fd.append((loss(args + e) - loss(args - e)) / (2 * eps))
+    # loose: adaptive accept/reject decisions flip under +-eps, so the
+    # discretized map is only piecewise smooth in f32
+    np.testing.assert_allclose(g_direct, jnp.asarray(fd), rtol=2e-2,
+                               atol=1e-6)
+
+
+def test_gradient_fixed_step_through_params_pytree():
+    ts = jnp.linspace(0.0, 1.0, 4)
+
+    def rhs(t, y, p):
+        return p["a"] * y + p["b"]
+
+    def loss(p):
+        ys = odeint_fixed(rhs, jnp.asarray(1.0), ts, p, substeps=4)
+        return jnp.sum(ys ** 2)
+
+    g = jax.grad(loss)({"a": jnp.asarray(-0.5), "b": jnp.asarray(0.2)})
+    assert jnp.isfinite(g["a"]) and jnp.isfinite(g["b"])
+    # FD check on one coordinate
+    eps = 1e-4
+    lp = loss({"a": jnp.asarray(-0.5 + eps), "b": jnp.asarray(0.2)})
+    lm = loss({"a": jnp.asarray(-0.5 - eps), "b": jnp.asarray(0.2)})
+    np.testing.assert_allclose(float(g["a"]), float((lp - lm) / (2 * eps)),
+                               rtol=2e-3)
+
+
+def test_gradient_wrt_y0():
+    ts = jnp.linspace(0.0, 1.0, 3)
+
+    def loss(y0):
+        ys = odeint(lv_rhs, y0, ts, LV_ARGS, rtol=1e-7, atol=1e-9,
+                    adjoint="backsolve")
+        return jnp.sum(ys[-1] ** 2)
+
+    g = jax.grad(loss)(LV_Y0)
+    eps = 1e-4
+
+    def loss_fixed(y0):
+        ys = odeint_fixed(lv_rhs, y0, ts, LV_ARGS, solver="rk4", substeps=64)
+        return jnp.sum(ys[-1] ** 2)
+
+    for i in range(2):
+        e = jnp.zeros(2).at[i].set(eps)
+        fd = (loss_fixed(LV_Y0 + e) - loss_fixed(LV_Y0 - e)) / (2 * eps)
+        # f32 FD + backward-time re-simulation error: loose tolerance
+        np.testing.assert_allclose(float(g[i]), float(fd), rtol=1e-2)
+
+
+def test_odeint_jits():
+    ts = jnp.linspace(0.0, 1.0, 5)
+    f = jax.jit(lambda y0: odeint(lv_rhs, y0, ts, LV_ARGS, adjoint="none"))
+    ys = f(LV_Y0)
+    assert ys.shape == (5, 2)
