@@ -1,0 +1,138 @@
+"""PDE operators, gray-box composition, and grid sharding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kanodes_tpu.models import KDense
+from kanodes_tpu.ode import odeint_fixed
+from kanodes_tpu.pde import operators as ops
+from kanodes_tpu.pde.graybox import GrayBoxRHS, FullSurrogateRHS
+
+
+def test_periodic_laplacian_matches_dense_matrix():
+    n, dx = 26, 0.1
+    u = jnp.asarray(np.random.default_rng(0).normal(size=n),
+                    dtype=jnp.float32)
+    lap_mat = jnp.asarray(ops.laplacian_matrix_periodic(n, dx),
+                          dtype=jnp.float32)
+    np.testing.assert_allclose(ops.laplacian_periodic(u, dx), lap_mat @ u,
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_periodic_laplacian_on_sine():
+    # lap sin(kx) = -k^2 sin(kx)
+    n = 128
+    x, dx = ops.uniform_grid(0.0, 2 * np.pi, n, endpoint=False)
+    k = 3.0
+    u = jnp.asarray(np.sin(k * x), jnp.float32)
+    got = ops.laplacian_periodic(u, dx)
+    np.testing.assert_allclose(got, -k * k * u, atol=0.05 * k * k)
+
+
+def test_dirichlet_laplacian_quadratic():
+    # u = x(1-x): u'' = -2 exactly for 2nd-order FD; bc values 0
+    n = 41
+    x, dx = ops.uniform_grid(0.0, 1.0, n)
+    u = jnp.asarray(x * (1 - x), jnp.float32)
+    got = ops.laplacian_dirichlet(u[1:-1], dx)   # interior
+    np.testing.assert_allclose(got, -2.0, rtol=1e-3, atol=1e-3)
+
+
+def test_graybox_rhs_composition():
+    # Fisher-KPP shape: D lap u + kan.(u)  (Fisher-KPP_Source.jl:95-98)
+    n, dx, D = 26, 1.0 / 25, 0.02
+    model = KDense(1, 1, grid_len=10)
+    params = model.init(jax.random.PRNGKey(0))
+    rhs = GrayBoxRHS(known=lambda t, u: D * ops.laplacian_periodic(u, dx),
+                     model=model)
+    u = jnp.linspace(0.1, 0.9, n)
+    out = rhs(0.0, u, params)
+    assert out.shape == (n,)
+    want = D * ops.laplacian_periodic(u, dx) + \
+        model.apply(params, u[:, None])[:, 0]
+    np.testing.assert_allclose(out, want, rtol=1e-6)
+
+
+def test_full_surrogate_rhs_integrates():
+    model = KDense(8, 8, grid_len=5)
+    params = model.init(jax.random.PRNGKey(1))
+    rhs = FullSurrogateRHS(model)
+    u0 = jnp.ones(8) * 0.3
+    ys = odeint_fixed(rhs, u0, jnp.asarray([0.0, 0.1, 0.2]), params,
+                      solver="rk4", substeps=4)
+    assert ys.shape == (3, 8) and bool(jnp.all(jnp.isfinite(ys)))
+
+
+# -- sharding ----------------------------------------------------------------
+
+def _mesh_sp():
+    from jax.sharding import Mesh
+    devs = np.asarray(jax.devices()[:8])
+    return Mesh(devs, ("sp",))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_laplacian_matches_local():
+    from kanodes_tpu.pde.sharded import sharded_laplacian_periodic
+    mesh = _mesh_sp()
+    n, dx = 64, 0.05
+    u = jnp.asarray(np.random.default_rng(1).normal(size=n), jnp.float32)
+    lap_sharded = sharded_laplacian_periodic(mesh, dx)
+    np.testing.assert_allclose(lap_sharded(u),
+                               ops.laplacian_periodic(u, dx),
+                               rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_graybox_gradients_match_local():
+    from kanodes_tpu.pde.sharded import sharded_graybox_rhs
+    mesh = _mesh_sp()
+    n, dx, D = 64, 1.0 / 64, 1e-3
+    model = KDense(1, 1, grid_len=5)
+    params = model.init(jax.random.PRNGKey(2))
+    u0 = jnp.asarray(0.5 + 0.3 * np.sin(
+        2 * np.pi * np.arange(n) / n), jnp.float32)
+    ts = jnp.asarray([0.0, 0.05])
+    rhs_sh = sharded_graybox_rhs(mesh, dx, D, model)
+
+    def rhs_loc(t, u, p):
+        return D * ops.laplacian_periodic(u, dx) + \
+            model.apply(p, u[:, None])[:, 0]
+
+    def loss(rhs, p):
+        ys = odeint_fixed(rhs, u0, ts, p, solver="rk4")
+        return jnp.mean(ys[-1] ** 2)
+
+    with mesh:
+        l_sh, g_sh = jax.value_and_grad(lambda p: loss(rhs_sh, p))(params)
+    l_lo, g_lo = jax.value_and_grad(lambda p: loss(rhs_loc, p))(params)
+    np.testing.assert_allclose(float(l_sh), float(l_lo), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_sh),
+                    jax.tree_util.tree_leaves(g_lo)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_ensemble_train_step():
+    import optax
+    from kanodes_tpu.parallel.sharding import (make_mesh, ensemble_train_step,
+                                               shard_leading)
+    mesh = make_mesh(8, ("dp",))
+    B = 8
+    target = jnp.linspace(0.0, 7.0, B)
+
+    def loss_fn(p):
+        return jnp.sum((p["w"] - jax.lax.stop_gradient(p["tgt"])) ** 2)
+
+    params = {"w": jnp.zeros((B, 3)),
+              "tgt": jnp.tile(target[:, None], (1, 3))}
+    opt = optax.adam(0.1)
+    opt_state = jax.vmap(opt.init)(params)
+    step = ensemble_train_step(loss_fn, opt, mesh)
+    params = shard_leading(params, mesh)
+    for _ in range(150):
+        params, opt_state, losses = step(params, opt_state)
+    assert losses.shape == (B,)
+    np.testing.assert_allclose(params["w"][:, 0], target, atol=0.05)

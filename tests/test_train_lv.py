@@ -1,0 +1,106 @@
+"""Training loop + LV experiment end-to-end slice."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kanodes_tpu.experiments.lv import (LVConfig, make_data, make_model,
+                                        make_ode_fns, init_params, run,
+                                        lv_rhs_truth)
+from kanodes_tpu.sparsify.regularization import (l1_entropy_reg, l2_reg,
+                                                 spline_smoothness_reg)
+from kanodes_tpu.train.loop import TrainConfig, train
+
+
+def test_train_loop_quadratic_converges():
+    target = jnp.asarray([1.0, -2.0, 0.5])
+
+    def loss(p):
+        return jnp.sum((p - target) ** 2)
+
+    out = train(loss, jnp.zeros(3), TrainConfig(lr=0.05, iters=500,
+                                                eval_every=100))
+    np.testing.assert_allclose(out["params"], target, atol=1e-2)
+    assert out["loss_history"].shape == (500,)
+    assert out["eval_history"].shape == (5,)
+    assert float(out["best_loss"]) <= float(out["loss_history"][0])
+
+
+def test_train_loop_host_chunking_equivalence():
+    """Chunked device calls must match a single-call run exactly."""
+    def loss(p):
+        return jnp.sum((p - 3.0) ** 2)
+
+    a = train(loss, jnp.zeros(2), TrainConfig(lr=0.1, iters=200,
+                                              eval_every=50,
+                                              max_iters_per_call=200))
+    b = train(loss, jnp.zeros(2), TrainConfig(lr=0.1, iters=200,
+                                              eval_every=50,
+                                              max_iters_per_call=50))
+    np.testing.assert_allclose(a["params"], b["params"], rtol=1e-6)
+    np.testing.assert_allclose(a["loss_history"], b["loss_history"],
+                               rtol=1e-6)
+
+
+def test_lv_data_matches_truth_dynamics():
+    cfg = LVConfig()
+    data = make_data(cfg)
+    X, ts = data["X"], data["ts"]
+    assert X.shape == (141, 2) and data["n_train"] == 35
+    # cross-check host f64 data gen against the on-device adaptive solver
+    from kanodes_tpu.ode import odeint
+    ys = odeint(lambda t, u, a: lv_rhs_truth(t, u), X[0], ts, None,
+                rtol=1e-8, atol=1e-10, max_steps=8192, adjoint="none")
+    np.testing.assert_allclose(ys, X, rtol=2e-3, atol=2e-3)
+
+
+def test_lv_short_training_reduces_loss():
+    cfg = LVConfig(iters=800, eval_every=400)
+    out = run(cfg)
+    h = np.asarray(out["loss_history"])
+    assert np.isfinite(h).all()
+    assert h[-1] < h[0] * 0.5, (h[0], h[-1])
+
+
+def test_lv_mlp_baseline_trains():
+    cfg = LVConfig(model="mlp", iters=300, eval_every=300, lr=1e-2,
+                   init_scale=1.0)
+    out = run(cfg)
+    h = np.asarray(out["loss_history"])
+    assert np.isfinite(h).all() and h[-1] < h[0]
+
+
+def test_lv_adaptive_mode_runs():
+    cfg = LVConfig(iters=30, eval_every=30, solve_mode="adaptive",
+                   max_steps=128)
+    out = run(cfg)
+    assert np.isfinite(np.asarray(out["loss_history"])).all()
+
+
+def test_reg_loss_values():
+    # uniform magnitudes -> entropy = log(n)
+    p = {"a": jnp.ones(4), "b": jnp.ones(4)}
+    val = l1_entropy_reg(p, act_reg=0.0, entropy_reg=1.0)
+    np.testing.assert_allclose(float(val), np.log(8), rtol=1e-5)
+    val2 = l1_entropy_reg(p, act_reg=2.0, entropy_reg=0.0)
+    np.testing.assert_allclose(float(val2), 16.0, rtol=1e-6)
+    assert float(l2_reg(p)) == 8.0
+
+
+def test_spline_smoothness_reg():
+    C = jnp.arange(12.0).reshape(1, 12, 1)  # linear ramp -> zero 2nd diff
+    assert float(spline_smoothness_reg([{"C": C}])) == 0.0
+    C2 = jnp.asarray([0.0, 1.0, 0.0]).reshape(1, 3, 1)
+    np.testing.assert_allclose(
+        float(spline_smoothness_reg([{"C": C2}])), 4.0)
+
+
+def test_lv_sparse_mode_penalizes():
+    cfg_d = LVConfig(iters=50, eval_every=50)
+    cfg_s = LVConfig(iters=50, eval_every=50, sparse_on=True)
+    data = make_data(cfg_d)
+    model = make_model(cfg_d)
+    params = init_params(cfg_d, model)
+    loss_d, _, _ = make_ode_fns(cfg_d, model, data)
+    loss_s, _, _ = make_ode_fns(cfg_s, model, data)
+    assert float(loss_s(params)) > float(loss_d(params))
