@@ -72,11 +72,15 @@ class LVConfig:
     act_reg: float = 5e-4              # reg_loss(p, 5e-4, 0), :199-201
     entropy_reg: float = 0.0
     # solver
-    solve_mode: str = "fixed"          # fixed | adaptive
+    solve_mode: str = "fixed"          # fixed | adaptive | shooting
     substeps: int = 1                  # fixed-mode Tsit5 steps per interval
+    segment_len: int = 1               # shooting-mode intervals per segment
     rtol: float = 1e-6
     atol: float = 1e-8
     max_steps: int = 256
+    # xla: plain jnp RHS | pallas: fused chain-RHS kernel | fused:
+    # whole-RK-step kernels (fastest; fixed/shooting modes only)
+    impl: str = "xla"
     seed: int = 0
 
 
@@ -121,20 +125,91 @@ def make_ode_fns(cfg: LVConfig, model, data):
     ts_train = ts[:n_train]
     u0 = X[0]
 
-    def rhs(t, u, params):
-        return model.apply(params, u)
+    use_fused = cfg.impl == "fused" and cfg.model == "kan"
+    if use_fused:
+        from kanodes_tpu.ops.kdense_pallas import chain_spec_of, fused_params
+        from kanodes_tpu.ops.rk_fused import fused_rk_step, fused_odeint
+        spec = chain_spec_of(model)
+        h = cfg.dt / cfg.substeps
+
+        def fused_interval(params, x):
+            """Advance a batch of states one save interval (one kernel
+            per substep)."""
+            fp = fused_params(params)
+            for _ in range(cfg.substeps):
+                x = fused_rk_step(spec, "tsit5", h, x, *fp)
+            return x
+
+    if cfg.impl == "pallas" and cfg.model == "kan":
+        from kanodes_tpu.ops.kdense_pallas import kan_chain_rhs
+        rhs = kan_chain_rhs(model)
+    else:
+        def rhs(t, u, params):
+            return model.apply(params, u)
 
     def predict(params, t_grid):
-        if cfg.solve_mode == "fixed":
-            return odeint_fixed(rhs, u0, t_grid, params,
-                                solver="tsit5", substeps=cfg.substeps)
-        return odeint(rhs, u0, t_grid, params, solver="tsit5",
-                      rtol=cfg.rtol, atol=cfg.atol,
-                      max_steps=cfg.max_steps, adjoint="direct")
+        if cfg.solve_mode == "adaptive":
+            return odeint(rhs, u0, t_grid, params, solver="tsit5",
+                          rtol=cfg.rtol, atol=cfg.atol,
+                          max_steps=cfg.max_steps, adjoint="direct")
+        if use_fused:
+            from kanodes_tpu.ops.kdense_pallas import chain_spec_of, \
+                fused_params
+            from kanodes_tpu.ops.rk_fused import fused_odeint
+            n_steps = (t_grid.shape[0] - 1) * cfg.substeps
+            ys = fused_odeint(spec, "tsit5", h, n_steps, u0[None],
+                              *fused_params(params),
+                              save_every=cfg.substeps)
+            return ys[:, 0, :]
+        return odeint_fixed(rhs, u0, t_grid, params,
+                            solver="tsit5", substeps=cfg.substeps)
+
+    def trajectory_loss(params):
+        pred = predict(params, ts_train)
+        return jnp.mean((pred - X[:n_train]) ** 2)
+
+    def shooting_loss(params):
+        """Multiple-shooting objective — the TPU-native reformulation.
+
+        The reference backprops through one long sequential solve
+        (35 chained RK steps, LV_driver_KANODE.jl:180-184); on TPU that
+        chain is dispatch-latency-bound. Multiple shooting integrates
+        short segments from *every* data point in parallel (vmap over
+        segments -> one batched RK step chain of length `segment_len`),
+        matching each segment end against the data. Same fixed point
+        (the true RHS zeroes both losses), ~n_train x less sequential
+        depth per iteration.
+        """
+        L = cfg.segment_len
+        Xtr = X[:n_train]
+        starts = Xtr[:-L]                            # [S, 2]
+        seg_ts = jnp.arange(L + 1, dtype=jnp.float32) * cfg.dt
+        # targets[s] = X[s+1 : s+L+1]
+        idx = jnp.arange(starts.shape[0])[:, None] + jnp.arange(1, L + 1)
+        targets = Xtr[idx]                           # [S, L, 2]
+
+        if use_fused:
+            # the segment batch IS the kernel batch dim — no vmap needed
+            x = starts
+            preds = []
+            for _ in range(L):
+                x = fused_interval(params, x)
+                preds.append(x)
+            preds = jnp.stack(preds, axis=1)         # [S, L, 2]
+        else:
+            def seg(u0_s):
+                ys = odeint_fixed(rhs, u0_s, seg_ts, params,
+                                  solver="tsit5", substeps=cfg.substeps)
+                return ys[1:]                        # [L, 2]
+
+            preds = jax.vmap(seg)(starts)
+        return jnp.mean((preds - targets) ** 2)
 
     def loss_fn(params):
-        pred = predict(params, ts_train)
-        loss = jnp.mean((pred - X[:n_train]) ** 2)
+        if cfg.solve_mode == "shooting":
+            loss = shooting_loss(params)
+        else:
+            loss = trajectory_loss(params)
         if cfg.sparse_on:
             loss = loss + l1_entropy_reg(params, cfg.act_reg,
                                          cfg.entropy_reg)

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from kanodes_tpu.models.core import glorot_uniform
 from kanodes_tpu.models.core import Chain as _Chain
 from kanodes_tpu.ops import basis as B
+from kanodes_tpu.utils.precision import matmul_precision
 
 Array = jax.Array
 
@@ -112,11 +113,13 @@ class KDense:
         bas = self.basis_values(x)                       # [..., I, G]
         flat = bas.reshape(*bas.shape[:-2], self.in_dims * self.grid_len)
         C2 = params["C"].reshape(self.in_dims * self.grid_len, self.out_dims)
-        y = jnp.matmul(flat, C2, preferred_element_type=flat.dtype)
+        y = jnp.matmul(flat, C2, preferred_element_type=flat.dtype,
+                       precision=matmul_precision())
         if self.use_base_act:
             base = B.get_base_act(self.base_act)(x)
             y = y + jnp.matmul(base, params["W"],
-                               preferred_element_type=flat.dtype)
+                               preferred_element_type=flat.dtype,
+                               precision=matmul_precision())
         return y
 
     def __call__(self, params, x, **kw):
@@ -132,7 +135,8 @@ class KDense:
         `Activation_getter.jl:3-63` for pruning and plotting).
         """
         bas = self.basis_values(x)                       # [..., I, G]
-        spline = jnp.einsum("...ig,igo->...io", bas, params["C"])
+        spline = jnp.einsum("...ig,igo->...io", bas, params["C"],
+                            precision=matmul_precision())
         if self.use_base_act:
             base = B.get_base_act(self.base_act)(x)      # [..., I]
             spline = spline + base[..., None] * params["W"]
@@ -191,7 +195,8 @@ class KDense1:
         if self.use_base_act:
             spline = spline + B.get_base_act(self.base_act)(x)
         return jnp.matmul(spline, params["W"],
-                          preferred_element_type=spline.dtype)
+                          preferred_element_type=spline.dtype,
+                          precision=matmul_precision())
 
     def __call__(self, params, x):
         return self.apply(params, x)

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from kanodes_tpu.models.core import glorot_uniform
 from kanodes_tpu.ops import basis as B
+from kanodes_tpu.utils.precision import matmul_precision
 
 Array = jax.Array
 
@@ -60,7 +61,8 @@ class MLP:
             else B.get_normalizer(self.activation)
         n = len(params)
         for idx, p in enumerate(params):
-            x = jnp.matmul(x, p["W"], preferred_element_type=x.dtype)
+            x = jnp.matmul(x, p["W"], preferred_element_type=x.dtype,
+                           precision=matmul_precision())
             if self.use_bias:
                 x = x + p["b"]
             if idx < n - 1:
