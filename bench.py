@@ -1,16 +1,20 @@
-"""Headline benchmark: LV KAN-ODE training throughput on one chip.
+"""Headline benchmark: LV KAN-ODE wall-clock time to the reference loss.
 
-Prints ONE JSON line. The driver-defined north star (BASELINE.json) is
-"LV KAN-ODE reaches reference loss in <60 s on one v5e chip"; the
-reference's canonical budget for that loss is 1e5 Adam iterations
-(LV_driver_KANODE.jl:221). We measure steady-state training iterations/s
-of the full jitted pipeline (forward Tsit5 solve over the 35-point train
-horizon + reverse AD + Adam update), and report
+North star (BASELINE.json): "LV KAN-ODE reaches reference loss in <60 s
+on one v5e chip". The reference's converged train-horizon MSE for this
+architecture ([2,10,2] KAN, grid 5, 240 params) is 8.3e-7 after 1e5 CPU
+Adam iterations (`Lotka-Volterra/trend_plotter.py:7-8`).
 
-    vs_baseline = measured_iters_per_sec / (1e5 iters / 60 s)
+This bench trains with the TPU-native recipe — multiple-shooting warmup
+(fused whole-RK-step Pallas kernels) then multi-step-segment refinement —
+and reports the wall-clock seconds of on-device training (compilation
+excluded; it is a one-time cost amortized by JAX's persistent cache)
+until the full-trajectory train MSE of the reference protocol drops
+below 8.3e-7.
 
-i.e. >= 1.0 means the canonical training budget fits in the 60-second
-target on this chip.
+    vs_baseline = 60 s / measured_time   (>1 beats the target)
+
+Prints ONE JSON line.
 """
 
 import json
@@ -19,36 +23,97 @@ import time
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+REFERENCE_LOSS = 8.3e-7     # trend_plotter.py: 240 params -> 8.3e-7
+TARGET_SECONDS = 60.0
+
 
 def main() -> None:
+    import optax
+    from jax import lax
+
     from kanodes_tpu.experiments.lv import (LVConfig, make_data, make_model,
                                             init_params, make_ode_fns)
-    from kanodes_tpu.train.loop import TrainConfig, train
 
-    cfg = LVConfig(iters=2000, eval_every=2000)
-    data = make_data(cfg)
-    model = make_model(cfg)
-    params = init_params(cfg, model)
-    loss_fn, eval_fn, _ = make_ode_fns(cfg, model, data)
-    tc = TrainConfig(lr=cfg.lr, iters=cfg.iters, eval_every=cfg.eval_every)
+    base = LVConfig()
+    data = make_data(base)
+    model = make_model(base)
+    params0 = init_params(base, model)
+    traj_loss_fn, _, _ = make_ode_fns(LVConfig(impl="fused"), model, data)
+    traj_loss = jax.jit(traj_loss_fn)
 
-    # warmup/compile
-    out = train(loss_fn, params, tc, eval_fn=eval_fn)
-    jax.block_until_ready(out["loss_history"])
+    def make_train(cfg, iters):
+        loss_fn, _, _ = make_ode_fns(cfg, model, data)
+        opt = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr)
+        vg = jax.value_and_grad(loss_fn)
 
-    # timed
+        @jax.jit
+        def tr(params, opt_state):
+            def step(c, _):
+                p, s = c
+                l, g = vg(p)
+                u, s = opt.update(g, s, p)
+                return (optax.apply_updates(p, u), s), l
+
+            (p, s), ls = lax.scan(step, (params, opt_state), None,
+                                  length=iters)
+            return p, s, ls
+
+        return tr, opt
+
+    CHUNK = 2000
+    tr_s1, opt_s1 = make_train(
+        LVConfig(solve_mode="shooting", segment_len=1, lr=3e-3,
+                 impl="fused"), CHUNK)
+    tr_s4, opt_s4 = make_train(
+        LVConfig(solve_mode="shooting", segment_len=4, lr=1e-3,
+                 impl="fused"), CHUNK)
+
+    # compile (excluded from the timing; persistent-cached across runs)
+    p = params0
+    s1 = opt_s1.init(p)
+    s4 = opt_s4.init(p)
+    jax.block_until_ready(tr_s1(p, s1)[2])
+    jax.block_until_ready(tr_s4(p, s4)[2])
+    jax.block_until_ready(traj_loss(p))
+
+    # timed: phase A (5 chunks shooting L=1) then phase B (L=4) until
+    # the reference loss falls, checking after each chunk
     t0 = time.time()
-    out = train(loss_fn, params, tc, eval_fn=eval_fn)
-    jax.block_until_ready(out["loss_history"])
-    dt = time.time() - t0
+    for _ in range(5):
+        p, s1, ls = tr_s1(p, s1)
+    jax.block_until_ready(ls)
+    reached = None
+    s4 = opt_s4.init(p)
+    s4.hyperparams["learning_rate"] = jnp.asarray(1e-3)
+    for chunk in range(15):
+        p, s4, ls = tr_s4(p, s4)
+        cur = float(traj_loss(p))
+        if cur <= REFERENCE_LOSS:
+            reached = time.time() - t0
+            break
+    elapsed = time.time() - t0
+    final_loss = float(traj_loss(p))
 
-    iters_per_sec = cfg.iters / dt
-    required = 1e5 / 60.0  # canonical budget within the 60 s target
+    if reached is None:
+        # did not reach target: report elapsed with vs_baseline scaled by
+        # the loss gap so regressions are visible rather than hidden
+        print(json.dumps({
+            "metric": "lv_kanode_seconds_to_reference_loss",
+            "value": round(elapsed, 2),
+            "unit": f"s (NOT reached: loss {final_loss:.2e} "
+                    f"> {REFERENCE_LOSS:.1e})",
+            "vs_baseline": 0.0,
+        }))
+        return
+
     print(json.dumps({
-        "metric": "lv_kanode_train_iters_per_sec",
-        "value": round(iters_per_sec, 2),
-        "unit": "iters/s",
-        "vs_baseline": round(iters_per_sec / required, 4),
+        "metric": "lv_kanode_seconds_to_reference_loss",
+        "value": round(reached, 2),
+        "unit": "s",
+        "vs_baseline": round(TARGET_SECONDS / reached, 2),
     }))
 
 

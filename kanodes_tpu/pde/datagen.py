@@ -1,0 +1,145 @@
+"""Host-side float64 truth-data generation for the PDE experiments.
+
+The reference generates truth with SciML solves — Tsit5 for Fisher-KPP /
+Allen-Cahn source (`Fisher-KPP_Source.jl:101-104`), MOL + Tsit5 for
+Burgers (`Burgers_Surrogate.jl:60-64`), stiff Rosenbrock23 / Rodas5 for
+the Allen-Cahn / Schrödinger surrogates (`Allen-Cahn_Surrogate.jl:63`,
+`Schrodinger_Surrogate.jl:69`). Here truth is produced once on the host
+in float64 with fine-step RK4 (steps chosen well inside the stability
+and accuracy budget of each problem — equivalent accuracy to the
+reference's tolerances), then shipped to device as float32.
+
+Discretizations mirror the reference exactly:
+  * Fisher-KPP / AC source: cyclic dense Laplacian over ALL grid nodes
+    (including both endpoints — the reference wraps the full 41/26-node
+    vector, `Fisher-KPP_Source.jl:55-59`);
+  * Burgers: Dirichlet-0 endpoints, 2nd-order central interior;
+  * AC / Schrödinger surrogates: same cyclic-wrap convention.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from kanodes_tpu.utils.host_rk import rk4_dense
+
+
+def _cyclic_lap(n: int, dx: float) -> np.ndarray:
+    lap = (np.diag(-2.0 * np.ones(n)) + np.diag(np.ones(n - 1), 1)
+           + np.diag(np.ones(n - 1), -1))
+    lap[0, -1] = 1.0
+    lap[-1, 0] = 1.0
+    return lap / dx ** 2
+
+
+@dataclasses.dataclass
+class PDEData:
+    x: np.ndarray          # [Nx] grid
+    ts: np.ndarray         # [Nt] save times (the training snapshot times)
+    X: np.ndarray          # [Nt, Nx(*2)] snapshots (row 0 at ts[0])
+    dx: float
+    meta: dict
+
+
+def fisher_kpp(D: float = 0.01, r: float = 1.0, X: float = 1.0,
+               T: float = 5.0, dx: float = 0.04, n_save: int = 11,
+               substeps: int = 400) -> PDEData:
+    """Fisher-KPP with hidden reaction ru(1-u) (Fisher-KPP_Source.jl:33-70)."""
+    x = np.arange(0.0, X + dx / 2, dx)
+    n = len(x)
+    amp, delta = 1.0, 0.2
+    rho0 = amp * (np.tanh((x - (0.5 - delta / 2)) / (delta / 10))
+                  - np.tanh((x - (0.5 + delta / 2)) / (delta / 10))) / 2
+    lap = _cyclic_lap(n, dx)
+    ts = np.linspace(0.0, T, n_save)
+
+    def f(t, u):
+        return D * (lap @ u) + r * u * (1 - u)
+
+    Xs = rk4_dense(f, rho0, ts, substeps=substeps)
+    return PDEData(x, ts, Xs, dx, dict(D=D, r=r, kind="fisher_kpp"))
+
+
+def allen_cahn_source(D: float = 1e-4, T: float = 1.0, dx: float = 0.05,
+                      dt: float = 0.01, substeps: int = 20) -> PDEData:
+    """Allen-Cahn with hidden reaction 5u - 5u^3 (Allen-Cahn_Source.jl:38-66).
+    Note the reference's sign: rhs = -0.0001*lap*u + reaction (:57), i.e.
+    the known operator carries a negative diffusion with the cyclic lap."""
+    x = np.arange(-1.0, 1.0 + dx / 2, dx)
+    n = len(x)
+    u0 = x ** 2 * np.cos(np.pi * x)
+    lap = _cyclic_lap(n, dx)
+    ts = np.arange(0.0, T + dt / 2, dt)
+
+    def f(t, u):
+        return -D * (lap @ u) + 5.0 * u - 5.0 * u ** 3
+
+    Xs = rk4_dense(f, u0, ts, substeps=substeps)
+    return PDEData(x, ts, Xs, dx, dict(D=-D, kind="allen_cahn_source"))
+
+
+def burgers(nu: float | None = None, dx: float = 0.05, dt: float = 0.01,
+            T: float = 1.0, substeps: int = 40) -> PDEData:
+    """Viscous Burgers, Dirichlet 0, u0 = -sin(pi x)
+    (Burgers_Surrogate.jl:41-49)."""
+    nu = 0.01 / np.pi if nu is None else nu
+    x = np.arange(-1.0, 1.0 + dx / 2, dx)
+    n = len(x)
+    u0 = -np.sin(np.pi * x)
+    u0[0] = u0[-1] = 0.0
+    ts = np.arange(0.0, T + dt / 2, dt)
+
+    def f(t, u):
+        up = np.concatenate([[0.0], u[1:-1], [0.0]])
+        lap = np.zeros_like(u)
+        lap[1:-1] = (up[2:] - 2 * up[1:-1] + up[:-2]) / dx ** 2
+        ux = np.zeros_like(u)
+        ux[1:-1] = (up[2:] - up[:-2]) / (2 * dx)
+        du = nu * lap - u * ux
+        du[0] = du[-1] = 0.0
+        return du
+
+    Xs = rk4_dense(f, u0, ts, substeps=substeps)
+    return PDEData(x, ts, Xs, dx, dict(nu=nu, kind="burgers"))
+
+
+def allen_cahn_surrogate(dx: float = 0.05, dt: float = 0.01,
+                         T: float = 1.0, substeps: int = 20) -> PDEData:
+    """AC surrogate truth: +0.0001 lap u + 5u - 5u^3, periodic
+    (Allen-Cahn_Surrogate.jl:41-48)."""
+    x = np.arange(-1.0, 1.0 + dx / 2, dx)
+    n = len(x)
+    u0 = x ** 2 * np.cos(np.pi * x)
+    lap = _cyclic_lap(n, dx)
+    ts = np.arange(0.0, T + dt / 2, dt)
+
+    def f(t, u):
+        return 1e-4 * (lap @ u) + 5.0 * u - 5.0 * u ** 3
+
+    Xs = rk4_dense(f, u0, ts, substeps=substeps)
+    return PDEData(x, ts, Xs, dx, dict(kind="allen_cahn_surrogate"))
+
+
+def schrodinger(dx: float = 0.05, dt: float = 0.01, substeps: int = 60
+                ) -> PDEData:
+    """Nonlinear Schrödinger, state = concat(u_re, u_im), periodic,
+    u_re(0) = 2 sech(x) (Schrodinger_Surrogate.jl:41-52). Stiff in the
+    reference (Rodas5); here fine-step RK4 (h ~ 1.7e-4 << stability
+    bound 2.8/(2/dx^2) ~ 3.5e-3)."""
+    x = np.arange(-5.0, 5.0 + dx / 2, dx)
+    n = len(x)
+    ur0 = 2.0 / np.cosh(x)
+    ui0 = np.zeros_like(x)
+    lap = _cyclic_lap(n, dx)
+    ts = np.arange(0.0, np.pi / 2 + dt / 2, dt)
+
+    def f(t, u):
+        ur, ui = u[:n], u[n:]
+        dur = 0.5 * (lap @ ui) + (ur ** 2 + ui ** 2) * ui
+        dui = -0.5 * (lap @ ur) - (ur ** 2 + ui ** 2) * ur
+        return np.concatenate([dur, dui])
+
+    Xs = rk4_dense(f, np.concatenate([ur0, ui0]), ts, substeps=substeps)
+    return PDEData(x, ts, Xs, dx, dict(kind="schrodinger"))

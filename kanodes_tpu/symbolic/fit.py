@@ -1,0 +1,106 @@
+"""High-level symbolic-regression post-pass.
+
+Rebuild of the reference's interpretability tail:
+  * `Symbolic_reg.jl:122-156` — per-edge `EquationSearch` over trained
+    KAN activation curves (8 searches for the pruned LV network);
+  * `Fisher-KPP_Source.jl:216-234` / `Allen-Cahn_Source.jl:210-236` —
+    automated SR on the learned 1->1 source-term KAN;
+  * `Plotting_symbolic.jl:196-236` — re-simulation of the recovered
+    symbolic RHS against truth.
+
+Expressions come from the native GP engine (`symbolic/engine.py`) and
+are canonicalized with sympy so `x0*(1 - x0)`-style forms print the way
+the paper reports them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from kanodes_tpu.symbolic.engine import SymbolicFit, fit_expression
+
+
+def simplify_expression(expr: str, precision: int = 4) -> str:
+    """Canonicalize with sympy (expand + simplify + rounded constants)."""
+    try:
+        import sympy
+    except ImportError:
+        return expr
+    try:
+        e = sympy.sympify(expr.replace("square", "_sq"),
+                          locals={"_sq": lambda v: v ** 2})
+        e = sympy.nsimplify(e, rational=False)
+        e = sympy.expand(sympy.simplify(e))
+        e = e.xreplace({n: sympy.Float(round(float(n), precision))
+                        for n in e.atoms(sympy.Float)})
+        return str(e)
+    except Exception:
+        return expr
+
+
+@dataclasses.dataclass
+class EdgeEquation:
+    layer: int
+    i: int
+    o: int
+    fit: SymbolicFit
+    pretty: str
+
+
+def fit_edge_activations(chain, params, x, *, ops=("+", "-", "*", "/"),
+                         generations: int = 200, seed: int = 0,
+                         **kw) -> list[EdgeEquation]:
+    """Run SR on every edge activation of a trained chain (the
+    Symbolic_reg.jl workflow: one EquationSearch per activation)."""
+    from kanodes_tpu.sparsify.activations import chain_activations
+
+    ca = chain_activations(chain, params, x)
+    out = []
+    for l, act in enumerate(ca.acts):
+        xin = np.asarray(ca.inputs[l])
+        a = np.asarray(act)
+        N, I, O = a.shape
+        for i in range(I):
+            for o in range(O):
+                fit = fit_expression(xin[:, i], a[:, i, o], ops=ops,
+                                     generations=generations,
+                                     seed=seed + 131 * (l * I * O + i * O + o),
+                                     **kw)
+                out.append(EdgeEquation(l, i, o, fit,
+                                        simplify_expression(fit.expression)))
+    return out
+
+
+def fit_scalar_function(fn, lo: float, hi: float, n: int = 400, *,
+                        ops=("+", "-", "*", "/"), generations: int = 250,
+                        seed: int = 0, **kw) -> SymbolicFit:
+    """SR on a scalar callable over [lo, hi] — the gray-box source-term
+    recovery (`Fisher-KPP_Source.jl:216-234`): sample the trained 1->1
+    KAN on its input range and fit a closed form."""
+    x = np.linspace(lo, hi, n)
+    y = np.asarray(fn(x)).ravel()
+    fit = fit_expression(x, y, ops=ops, generations=generations,
+                         seed=seed, **kw)
+    fit.expression = fit.expression  # raw kept; pretty via simplify
+    return fit
+
+
+def resimulate_symbolic_rhs(exprs: list[str], u0, ts, n_state: int):
+    """Integrate du_k/dt = expr_k(u_0..u_{d-1}) and return the trajectory
+    — symbolic-model validation (`Plotting_symbolic.jl:196-236`)."""
+    import jax.numpy as jnp
+    from kanodes_tpu.ode import odeint
+
+    compiled = [compile(e, "<sym>", "eval") for e in exprs]
+
+    def rhs(t, u, args):
+        env = {f"x{i}": u[i] for i in range(n_state)}
+        env.update(sin=jnp.sin, cos=jnp.cos, exp=jnp.exp,
+                   square=jnp.square)
+        return jnp.stack([eval(c, {"__builtins__": {}}, env)  # noqa: S307
+                          for c in compiled])
+
+    return odeint(rhs, jnp.asarray(u0), jnp.asarray(ts), None,
+                  rtol=1e-7, atol=1e-9, adjoint="none")
