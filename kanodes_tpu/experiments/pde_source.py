@@ -1,0 +1,147 @@
+"""Hidden-physics source-term recovery: Fisher-KPP and Allen-Cahn.
+
+Rebuild of `PDE examples/Fisher-KPP_Source.jl` and `Allen-Cahn_Source.jl`:
+a known diffusion operator plus a pointwise 1->1 KAN as the unknown
+reaction term,
+    du/dt = D * lap_cyclic @ u + kan.(u)        (rc_kanode, :95-98)
+trained on snapshots of the true dynamics, then symbolic regression on
+the learned scalar function recovers the reaction law (:216-234).
+
+TPU-native: the pointwise broadcast becomes one batched basis-expansion
+GEMM over all grid nodes; the Laplacian stays a dense [N,N] matmul as in
+the reference (MXU-friendly at these sizes); the whole training loop is
+the shared on-device scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kanodes_tpu.models import KDense
+from kanodes_tpu.ode import odeint_fixed
+from kanodes_tpu.pde import datagen
+from kanodes_tpu.train.loop import TrainConfig, train
+from kanodes_tpu.utils.precision import matmul_precision
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class SourceConfig:
+    problem: str = "fisher_kpp"        # fisher_kpp | allen_cahn
+    kan_grid: int = 10                 # KANgrid=10 (:82-86)
+    normalizer: str = "softsign"       # (:81)
+    lr: float = 1e-2                   # Adam 1e-2 (:167-170)
+    iters: int = 2000                  # reference: 2e4 (fkpp) / 5e4 (AC)
+    eval_every: int = 500
+    substeps: int | None = None        # None -> per-problem default
+    max_iters_per_call: int | None = None
+    seed: int = 0
+
+    def resolved_substeps(self) -> int:
+        if self.substeps is not None:
+            return self.substeps
+        # fkpp saves every dt=0.5 with diffusion lambda ~25 -> h=0.0625;
+        # AC saves every dt=0.01 with lambda ~15 -> one step is plenty
+        return 8 if self.problem == "fisher_kpp" else 2
+
+    def resolved_chunk(self) -> int:
+        if self.max_iters_per_call is not None:
+            return self.max_iters_per_call
+        # keep one device execution under ~2 min (tunnel watchdog):
+        # AC integrates 101 save points/loss vs fkpp's 11
+        return 10_000 if self.problem == "fisher_kpp" else 1_000
+
+
+def make_data(cfg: SourceConfig) -> datagen.PDEData:
+    if cfg.problem == "fisher_kpp":
+        return datagen.fisher_kpp()
+    if cfg.problem == "allen_cahn":
+        return datagen.allen_cahn_source()
+    raise ValueError(cfg.problem)
+
+
+def truth_reaction(cfg: SourceConfig):
+    if cfg.problem == "fisher_kpp":
+        return lambda u: u * (1 - u)
+    return lambda u: 5.0 * u - 5.0 * u ** 3
+
+
+def make_model(cfg: SourceConfig) -> KDense:
+    return KDense(1, 1, cfg.kan_grid, normalizer=cfg.normalizer)
+
+
+def make_fns(cfg: SourceConfig, model: KDense, data: datagen.PDEData):
+    lap = jnp.asarray(datagen._cyclic_lap(len(data.x), data.dx), jnp.float32)
+    D = data.meta["D"] if cfg.problem == "fisher_kpp" else data.meta["D"]
+    X = jnp.asarray(data.X, jnp.float32)
+    ts = jnp.asarray(data.ts, jnp.float32)
+    u0 = X[0]
+
+    def rhs(t, u, params):
+        known = D * jnp.matmul(lap, u, precision=matmul_precision())
+        learned = model.apply(params, u[:, None])[:, 0]
+        return known + learned
+
+    def predict(params):
+        return odeint_fixed(rhs, u0, ts, params, solver="tsit5",
+                            substeps=cfg.resolved_substeps())
+
+    def loss_fn(params):
+        return jnp.mean((predict(params) - X) ** 2)
+
+    return loss_fn, loss_fn, predict
+
+
+def run(cfg: SourceConfig | None = None, params=None) -> dict[str, Any]:
+    cfg = cfg or SourceConfig()
+    data = make_data(cfg)
+    model = make_model(cfg)
+    if params is None:
+        params = model.init(jax.random.PRNGKey(cfg.seed))
+    loss_fn, eval_fn, predict = make_fns(cfg, model, data)
+    tc = TrainConfig(lr=cfg.lr, iters=cfg.iters, eval_every=cfg.eval_every,
+                     max_iters_per_call=cfg.resolved_chunk())
+    out = train(loss_fn, params, tc)
+    out.update(cfg=cfg, model=model, data=data, predict=predict)
+    return out
+
+
+def recover_source(out: dict, generations: int = 250,
+                   seed: int = 0) -> dict:
+    """SR post-pass on the trained 1->1 KAN over the state range — the
+    reference's SRRegressor step (`Fisher-KPP_Source.jl:216-234`,
+    recovered 0.9953*x*(1.0024-x))."""
+    from kanodes_tpu.symbolic.fit import fit_scalar_function, \
+        simplify_expression
+
+    model, params = out["model"], out["best_params"]
+    X = np.asarray(out["data"].X)
+    lo, hi = float(X.min()), float(X.max())
+
+    def learned(u):
+        u = jnp.asarray(u, jnp.float32)
+        return np.asarray(model.apply(params, u[:, None])[:, 0])
+
+    fit = fit_scalar_function(learned, lo, hi, generations=generations,
+                              seed=seed)
+    return {"fit": fit, "pretty": simplify_expression(fit.expression),
+            "range": (lo, hi)}
+
+
+if __name__ == "__main__":
+    import time
+
+    for problem in ("fisher_kpp", "allen_cahn"):
+        cfg = SourceConfig(problem=problem)
+        t0 = time.time()
+        out = run(cfg)
+        jax.block_until_ready(out["loss_history"])
+        rec = recover_source(out)
+        print(f"{problem}: loss {float(out['best_loss']):.3e} "
+              f"({time.time() - t0:.1f}s) recovered: {rec['pretty']}")

@@ -95,8 +95,13 @@ def burgers(nu: float | None = None, dx: float = 0.05, dt: float = 0.01,
         up = np.concatenate([[0.0], u[1:-1], [0.0]])
         lap = np.zeros_like(u)
         lap[1:-1] = (up[2:] - 2 * up[1:-1] + up[:-2]) / dx ** 2
-        ux = np.zeros_like(u)
-        ux[1:-1] = (up[2:] - up[:-2]) / (2 * dx)
+        # upwind advection (MethodOfLines' default for odd-order terms;
+        # central differencing is unstable here: cell Re = u dx/nu ~ 16)
+        fwd = np.zeros_like(u)
+        bwd = np.zeros_like(u)
+        fwd[1:-1] = (up[2:] - up[1:-1]) / dx
+        bwd[1:-1] = (up[1:-1] - up[:-2]) / dx
+        ux = np.where(u > 0, bwd, fwd)
         du = nu * lap - u * ux
         du[0] = du[-1] = 0.0
         return du

@@ -1,0 +1,391 @@
+"""Strain-limiting KAN-PINN training orchestration.
+
+Rebuild of `train_model` (`StrainLimiting_KAN_PINN.py:1581-1982`) and the
+Julia `train!`/`train_stage!` (`StrainLimiting_KAN_PINN.jl:463-691`):
+
+  * two stages (Adam 3e-4 then finetune 5e-5) with early stopping;
+  * PDE-weight curriculum: 0 for `pretrain_epochs`, then linear ramp to 1
+    over `pde_ramp_epochs` (:1077-1085);
+  * fresh stratified collocation batches every epoch + adaptive top-k
+    residual resampling (:400-431);
+  * composite loss  lambda_pde*w(t)*pde + lambda_bc*bc + lambda_gauge*g
+    + lambda_sym*sym + lambda_tip*tip + lambda_tip_ratio*hinge
+    (:1706-1726), global-norm grad clip 1.0 (:1727);
+  * fixed validation sets, validated every N epochs with physics-aware
+    model selection (pde term floored at weight 0.25, :1732-1799);
+  * checkpoint/resume via the shared Checkpointer.
+
+TPU-native shape: the entire epoch (loss + grad + clip + Adam) is ONE
+jitted step with static batch shapes; host work is only the NumPy
+samplers. The reference's chunked streaming backward + OOM-halving
+ladders (:885-1074) have no equivalent here — XLA's memory plan is
+static and the whole batch fits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from kanodes_tpu.pinn import geometry as G
+from kanodes_tpu.pinn import losses as L
+from kanodes_tpu.pinn.model import KANPINN
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class PINNConfig:
+    """TrainParams parity (StrainLimiting_KAN_PINN.py:92-181) with the
+    Julia flavor reachable via preset()."""
+    # model
+    widths: tuple[int, ...] = (2, 96, 96, 96, 1)
+    n_basis: int = 48
+    trainable_centers: bool = True
+    residual: str = "autograd"         # autograd | fd (Julia flavor)
+    fd_eps: float = 2e-3
+    # epochs
+    adam_epochs: int = 8000
+    finetune_epochs: int = 8000
+    pretrain_epochs: int = 1000
+    pde_ramp_epochs: int = 3500
+    # batch counts (:97-101)
+    n_interior_uniform: int = 256
+    n_interior_refine: int = 256
+    n_interior_tip_strip: int = 1536
+    n_interior_tip_annulus: int = 768
+    n_boundary_each: int = 128
+    n_adaptive: int = 0                # extra top-|r| points per epoch
+    adaptive_candidates: int = 2048
+    # validation counts (:103-108)
+    val_n_interior_uniform: int = 256
+    val_n_interior_refine: int = 256
+    val_n_interior_tip_strip: int = 2048
+    val_n_interior_tip_annulus: int = 1024
+    val_n_boundary_each: int = 128
+    # loss weights (:110-116)
+    lambda_bc: float = 10.0
+    lambda_gauge: float = 0.01
+    lambda_sym: float = 0.5
+    lambda_pde: float = 1.0
+    lambda_tip: float = 0.02
+    lambda_tip_ratio: float = 1.0
+    # tip machinery (:118-122)
+    tip_stress_c: float = 0.25
+    tip_ratio_target: float = 1.2
+    tip_weight_power: float = 0.5
+    tip_loss_r_weight_power: float = 0.5
+    # optimization (:123-124)
+    learning_rate: float = 3e-4
+    finetune_lr: float = 5e-5
+    grad_clip: float = 1.0
+    # cadence (:126-131)
+    validation_every: int = 10
+    checkpoint_every: int = 0          # 0 = off
+    early_stop_patience: int = 99999
+    min_improve: float = 1e-5
+    seed: int = 42
+    notch_face_bc_mode: str = "natural"   # natural | exclude | dirichlet_zero
+
+    @classmethod
+    def julia_small(cls) -> "PINNConfig":
+        """The Julia flavor (`StrainLimiting_KAN_PINN.jl:50-58,409-419`):
+        [2,32,32,1], 16 bases, fixed centers, FD residual, losses
+        pde + 20 bc + 1e-3 gauge."""
+        return cls(widths=(2, 32, 32, 1), n_basis=16,
+                   trainable_centers=False, residual="fd",
+                   lambda_bc=20.0, lambda_gauge=1e-3, lambda_sym=0.0,
+                   lambda_tip=0.0, lambda_tip_ratio=0.0,
+                   tip_weight_power=0.0, pretrain_epochs=0,
+                   pde_ramp_epochs=1, grad_clip=10.0, learning_rate=1e-3,
+                   finetune_lr=2e-4,
+                   n_interior_tip_strip=256, n_interior_tip_annulus=0,
+                   val_n_interior_tip_strip=256,
+                   val_n_interior_tip_annulus=0)
+
+
+def _dirichlet_labels(cfg: PINNConfig) -> tuple[str, ...]:
+    if cfg.notch_face_bc_mode == "dirichlet_zero":
+        return G.ALL_LABELS
+    return G.OUTER_LABELS
+
+
+def _make_symmetry_pairs(geo: G.Geometry, rng, n: int = 128):
+    """Mirror pairs about the tip line (losses valid on both sides,
+    StrainLimiting_KAN_PINN.py:831-852)."""
+    y0 = geo.tip[1]
+    pts = G.sample_interior_uniform(geo, rng, n,
+                                    box=(geo.xmin, geo.xmax, y0, geo.ymax))
+    ym = 2 * y0 - pts[:, 1]
+    ok = (ym >= geo.ymin) & (ym <= geo.ymax) \
+        & ~geo.in_void(pts[:, 0], ym)
+    a = pts[ok]
+    b = np.stack([pts[ok][:, 0], ym[ok]], axis=1).astype(np.float32)
+    return a, b
+
+
+@dataclasses.dataclass
+class EpochBatch:
+    interior: np.ndarray
+    tip_pts: np.ndarray
+    bdata: dict
+    btargets: dict
+    sym_a: np.ndarray
+    sym_b: np.ndarray
+
+
+def sample_epoch_batch(cfg: PINNConfig, geo: G.Geometry, rng,
+                       val: bool = False, n_sym: int = 128) -> EpochBatch:
+    counts = dict(
+        uniform=cfg.val_n_interior_uniform if val else cfg.n_interior_uniform,
+        refine=cfg.val_n_interior_refine if val else cfg.n_interior_refine,
+        tip_strip=(cfg.val_n_interior_tip_strip if val
+                   else cfg.n_interior_tip_strip),
+        tip_annulus=(cfg.val_n_interior_tip_annulus if val
+                     else cfg.n_interior_tip_annulus),
+    )
+    interior, region = G.sample_interior(geo, rng, counts)
+    # tip-loss points = the tip_strip + tip_annulus strata
+    n_tail = counts["tip_strip"] + counts["tip_annulus"]
+    tip_pts = interior[-n_tail:] if n_tail else np.empty((0, 2), np.float32)
+    n_each = cfg.val_n_boundary_each if val else cfg.n_boundary_each
+    bdata = G.sample_boundaries(geo, rng, n_each)
+    labels = _dirichlet_labels(cfg)
+    bdata = {k: v for k, v in bdata.items() if k in labels}
+    btargets = {k: G.dirichlet_target(k, v) for k, v in bdata.items()}
+    # pad symmetry pairs to a fixed shape (mask via zero-weight dupes)
+    a, b = _make_symmetry_pairs(geo, rng, n_sym)
+    if a.shape[0] == 0:
+        a = b = np.zeros((1, 2), np.float32)
+    want = max(n_sym // 2, 1)
+    idx = np.resize(np.arange(a.shape[0]), want)
+    return EpochBatch(interior, tip_pts, bdata, btargets, a[idx], b[idx])
+
+
+def make_step(cfg: PINNConfig, model: KANPINN, geo: G.Geometry,
+              mat: L.Material, opt):
+    near, far = G.tip_ratio_line_points(geo, 64, 64)
+    near, far = jnp.asarray(near), jnp.asarray(far)
+    tip = geo.tip
+
+    def total_loss(params, interior, tip_pts, bdata, btargets,
+                   sym_a, sym_b, pde_w):
+        def phi(p):
+            return model.phi(params, p)
+
+        lpde = L.weighted_pde_loss(
+            phi, interior, mat, tip, weight_power=cfg.tip_weight_power,
+            residual=cfg.residual, fd_eps=cfg.fd_eps)
+        lbc, _ = L.boundary_loss(phi, bdata, btargets)
+        lg = L.gauge_loss(phi)
+        lsym = L.symmetry_loss(phi, sym_a, sym_b)
+        loss = (cfg.lambda_pde * pde_w * lpde + cfg.lambda_bc * lbc
+                + cfg.lambda_gauge * lg + cfg.lambda_sym * lsym)
+        ratio = jnp.asarray(0.0)
+        if cfg.lambda_tip > 0 and tip_pts.shape[0] > 0:
+            loss = loss + cfg.lambda_tip * L.tip_stress_loss(
+                phi, tip_pts, tip, c=cfg.tip_stress_c,
+                r_weight_power=cfg.tip_loss_r_weight_power)
+        if cfg.lambda_tip_ratio > 0:
+            lratio, ratio = L.tip_ratio_loss(phi, near, far,
+                                             target=cfg.tip_ratio_target)
+            loss = loss + cfg.lambda_tip_ratio * lratio
+        aux = {"pde": lpde, "bc": lbc, "gauge": lg, "sym": lsym,
+               "ratio": ratio}
+        return loss, aux
+
+    @jax.jit
+    def step(params, opt_state, interior, tip_pts, bdata, btargets,
+             sym_a, sym_b, pde_w, lr):
+        (loss, aux), grads = jax.value_and_grad(total_loss, has_aux=True)(
+            params, interior, tip_pts, bdata, btargets, sym_a, sym_b,
+            pde_w)
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, aux
+
+    @jax.jit
+    def eval_losses(params, interior, tip_pts, bdata, btargets,
+                    sym_a, sym_b):
+        def phi(p):
+            return model.phi(params, p)
+
+        lpde = L.weighted_pde_loss(
+            phi, interior, mat, tip, weight_power=cfg.tip_weight_power,
+            residual=cfg.residual, fd_eps=cfg.fd_eps)
+        lbc, terms = L.boundary_loss(phi, bdata, btargets)
+        lg = L.gauge_loss(phi)
+        lsym = L.symmetry_loss(phi, sym_a, sym_b)
+        return lpde, lbc, lg, lsym
+
+    return step, eval_losses, total_loss
+
+
+def pde_weight_schedule(cfg: PINNConfig, epoch: int) -> float:
+    """Curriculum (:1077-1085): 0 until pretrain, linear ramp to 1."""
+    if epoch < cfg.pretrain_epochs:
+        return 0.0
+    r = (epoch - cfg.pretrain_epochs) / max(cfg.pde_ramp_epochs, 1)
+    return float(min(1.0, r))
+
+
+def train(cfg: PINNConfig | None = None, geo: G.Geometry | None = None,
+          mat: L.Material | None = None, checkpoint_dir: str | None = None,
+          resume: bool = False, verbose: bool = False) -> dict[str, Any]:
+    cfg = cfg or PINNConfig()
+    geo = geo or G.Geometry()
+    mat = mat or L.Material()
+    rng = np.random.default_rng(cfg.seed)
+    model = KANPINN(cfg.widths, cfg.n_basis, cfg.trainable_centers)
+    params = model.init(jax.random.PRNGKey(cfg.seed))
+    opt = optax.inject_hyperparams(
+        lambda learning_rate: optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip),
+            optax.adam(learning_rate)))(learning_rate=cfg.learning_rate)
+    opt_state = opt.init(params)
+
+    step, eval_losses, _ = make_step(cfg, model, geo, mat, opt)
+    val_batch = sample_epoch_batch(cfg, geo, rng, val=True)
+    vb = _to_jax(val_batch)
+
+    ckptr = None
+    start_epoch = 0
+    if checkpoint_dir:
+        from kanodes_tpu.train.checkpoint import Checkpointer, TrainState
+        ckptr = Checkpointer(checkpoint_dir)
+        if resume and ckptr.latest_step() is not None:
+            st = ckptr.restore()
+            params = st["params"]
+            start_epoch = int(st["step"])
+
+    best = {"loss": float("inf"), "params": params, "epoch": -1}
+    history = {"loss": [], "pde": [], "bc": [], "val": [], "ratio": []}
+    stale = 0
+    n_total = cfg.adam_epochs + cfg.finetune_epochs
+    t0 = time.time()
+
+    for epoch in range(start_epoch, n_total):
+        lr = cfg.learning_rate if epoch < cfg.adam_epochs \
+            else cfg.finetune_lr
+        batch = sample_epoch_batch(cfg, geo, rng)
+        b = _to_jax(batch)
+        pde_w = pde_weight_schedule(cfg, epoch)
+        params, opt_state, loss, aux = step(
+            params, opt_state, b["interior"], b["tip_pts"], b["bdata"],
+            b["btargets"], b["sym_a"], b["sym_b"],
+            jnp.asarray(pde_w, jnp.float32), jnp.asarray(lr, jnp.float32))
+        history["loss"].append(float(loss))
+        history["pde"].append(float(aux["pde"]))
+        history["bc"].append(float(aux["bc"]))
+        history["ratio"].append(float(aux["ratio"]))
+
+        if (epoch + 1) % cfg.validation_every == 0 or epoch == n_total - 1:
+            v_lpde, v_lbc, v_lg, v_lsym = eval_losses(
+                params, vb["interior"], vb["tip_pts"], vb["bdata"],
+                vb["btargets"], vb["sym_a"], vb["sym_b"])
+            # physics-aware selection: pde floored at 0.25 (:1754-1766)
+            sel = (max(pde_w, 0.25) * float(v_lpde)
+                   + cfg.lambda_bc * float(v_lbc)
+                   + cfg.lambda_gauge * float(v_lg)
+                   + cfg.lambda_sym * float(v_lsym))
+            history["val"].append((epoch, sel))
+            if sel < best["loss"] - cfg.min_improve:
+                best = {"loss": sel, "params": params, "epoch": epoch}
+                stale = 0
+            else:
+                stale += 1
+            if verbose:
+                print(f"ep {epoch} loss {float(loss):.4g} "
+                      f"pde {float(aux['pde']):.4g} bc {float(aux['bc']):.4g} "
+                      f"val {sel:.4g} ratio {float(aux['ratio']):.3f} "
+                      f"pde_w {pde_w:.2f} "
+                      f"({(epoch + 1) / (time.time() - t0):.1f} ep/s)",
+                      flush=True)
+            if stale >= cfg.early_stop_patience:
+                break
+        if ckptr and cfg.checkpoint_every \
+                and (epoch + 1) % cfg.checkpoint_every == 0:
+            from kanodes_tpu.train.checkpoint import TrainState
+            ckptr.save(TrainState(params=params, step=epoch + 1,
+                                  best_params=best["params"],
+                                  best_loss=best["loss"]))
+
+    return {"model": model, "params": params, "best_params": best["params"],
+            "best_val": best["loss"], "best_epoch": best["epoch"],
+            "history": history, "cfg": cfg, "geo": geo, "mat": mat,
+            "seconds": time.time() - t0}
+
+
+def _to_jax(batch: EpochBatch) -> dict:
+    return {
+        "interior": jnp.asarray(batch.interior),
+        "tip_pts": jnp.asarray(batch.tip_pts),
+        "bdata": {k: jnp.asarray(v) for k, v in batch.bdata.items()},
+        "btargets": {k: jnp.asarray(v) for k, v in batch.btargets.items()},
+        "sym_a": jnp.asarray(batch.sym_a),
+        "sym_b": jnp.asarray(batch.sym_b),
+    }
+
+
+# ---------------------------------------------------------------------------
+# cross-verification diagnostics (run_cross_verification,
+# StrainLimiting_KAN_PINN.py:1249-1313; .jl:394-407)
+# ---------------------------------------------------------------------------
+
+def cross_verification(out: dict, n_grid: int = 101) -> dict:
+    cfg, geo, mat = out["cfg"], out["geo"], out["mat"]
+    model, params = out["model"], out["best_params"]
+    rng = np.random.default_rng(cfg.seed + 1)
+
+    def phi(p):
+        return model.phi(params, p)
+
+    batch = sample_epoch_batch(cfg, geo, rng, val=True)
+    interior = jnp.asarray(batch.interior)
+    res = np.asarray(L.pde_residual(phi, interior, mat)) \
+        if cfg.residual == "autograd" else \
+        np.asarray(L.pde_residual_fd(phi, interior, mat, cfg.fd_eps))
+
+    a, b = _make_symmetry_pairs(geo, rng, 512)
+    pa = np.asarray(jax.vmap(phi)(jnp.asarray(a)))
+    pb = np.asarray(jax.vmap(phi)(jnp.asarray(b)))
+    sym_err = np.abs(pa - pb)
+
+    near, far = G.tip_ratio_line_points(geo, 64, 64)
+    _, _, tn = L.stress(phi, jnp.asarray(near))
+    _, _, tf = L.stress(phi, jnp.asarray(far))
+    ratio = float(jnp.mean(tn) / (jnp.mean(tf) + 1e-8))
+
+    # NaN sweep over the full grid outside the notch (:1181-1193)
+    xs = np.linspace(geo.xmin, geo.xmax, n_grid)
+    ys = np.linspace(geo.ymin, geo.ymax, n_grid)
+    XX, YY = np.meshgrid(xs, ys)
+    mask = ~geo.in_void(XX, YY)
+    pts = np.stack([XX[mask], YY[mask]], axis=1).astype(np.float32)
+    vals = np.asarray(jax.vmap(phi)(jnp.asarray(pts)))
+    nonfinite = int(np.sum(~np.isfinite(vals)))
+
+    # per-boundary Dirichlet errors
+    berr = {}
+    for label, xy in batch.bdata.items():
+        pred = np.asarray(jax.vmap(phi)(jnp.asarray(xy)))
+        tgt = batch.btargets[label]
+        berr[label] = float(np.mean((pred - tgt) ** 2))
+
+    return {
+        "pde_residual_mean_abs": float(np.mean(np.abs(res))),
+        "pde_residual_max_abs": float(np.max(np.abs(res))),
+        "symmetry_mean_abs": float(np.mean(sym_err)),
+        "tip_near_far_ratio": ratio,
+        "nonfinite_grid_points": nonfinite,
+        "boundary_mse": berr,
+        "best_val": float(out["best_val"]),
+    }

@@ -31,10 +31,18 @@ def simplify_expression(expr: str, precision: int = 4) -> str:
     try:
         e = sympy.sympify(expr.replace("square", "_sq"),
                           locals={"_sq": lambda v: v ** 2})
-        e = sympy.nsimplify(e, rational=False)
         e = sympy.expand(sympy.simplify(e))
-        e = e.xreplace({n: sympy.Float(round(float(n), precision))
-                        for n in e.atoms(sympy.Float)})
+        # round float constants (Integers/Rationals — e.g. exponents —
+        # are structural and stay exact)
+        repl = {n: sympy.Float(round(float(n), precision))
+                for n in e.atoms(sympy.Float)}
+        e = e.xreplace(repl)
+        # drop terms with ~zero coefficients
+        e = sympy.expand(e)
+        if isinstance(e, sympy.Add):
+            kept = [t for t in e.args
+                    if abs(float(t.as_coeff_Mul()[0])) > 10 ** -precision]
+            e = sympy.Add(*kept) if kept else sympy.Float(0)
         return str(e)
     except Exception:
         return expr
@@ -75,16 +83,33 @@ def fit_edge_activations(chain, params, x, *, ops=("+", "-", "*", "/"),
 
 def fit_scalar_function(fn, lo: float, hi: float, n: int = 400, *,
                         ops=("+", "-", "*", "/"), generations: int = 250,
-                        seed: int = 0, **kw) -> SymbolicFit:
+                        seed: int = 0, compact: bool = True,
+                        **kw) -> SymbolicFit:
     """SR on a scalar callable over [lo, hi] — the gray-box source-term
     recovery (`Fisher-KPP_Source.jl:216-234`): sample the trained 1->1
-    KAN on its input range and fit a closed form."""
+    KAN on its input range and fit a closed form.
+
+    compact=True runs a small pareto sweep over parsimony pressures and
+    returns the SHORTEST expression whose MSE is within a tolerance band
+    of the best — the learned KAN only approximates the true law, so
+    chasing its wiggles with a huge genome is overfitting (the
+    reference's SRRegressor model selection plays the same role).
+    """
     x = np.linspace(lo, hi, n)
     y = np.asarray(fn(x)).ravel()
-    fit = fit_expression(x, y, ops=ops, generations=generations,
-                         seed=seed, **kw)
-    fit.expression = fit.expression  # raw kept; pretty via simplify
-    return fit
+    if not compact:
+        return fit_expression(x, y, ops=ops, generations=generations,
+                              seed=seed, **kw)
+    var = float(np.var(y)) + 1e-12
+    cands = []
+    for j, pars in enumerate((1e-3, 3e-2, 3e-1)):
+        f = fit_expression(x, y, ops=ops, generations=generations,
+                           parsimony=pars, seed=seed + 977 * j, **kw)
+        cands.append(f)
+    best_mse = min(f.mse for f in cands)
+    tol = max(2.0 * best_mse, 1e-4 * var)
+    ok = [f for f in cands if f.mse <= tol]
+    return min(ok, key=lambda f: f.size)
 
 
 def resimulate_symbolic_rhs(exprs: list[str], u0, ts, n_state: int):

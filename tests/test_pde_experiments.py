@@ -1,0 +1,107 @@
+"""PDE experiment drivers: data physics sanity + short-training smoke."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kanodes_tpu.pde import datagen
+
+
+class TestDatagen:
+    def test_fisher_kpp_physics(self):
+        d = datagen.fisher_kpp()
+        assert d.X.shape == (11, 26)
+        assert np.isfinite(d.X).all()
+        # logistic growth drives u toward 1 everywhere at T=5
+        assert d.X[-1].min() > 0.9
+        # initial bump is localized
+        assert d.X[0].max() > 0.9 and d.X[0].min() < 0.05
+
+    def test_allen_cahn_source_physics(self):
+        d = datagen.allen_cahn_source()
+        assert d.X.shape == (101, 41)
+        # Allen-Cahn drives |u| toward 1 (bistable wells)
+        assert np.abs(d.X[-1]).max() <= 1.01
+        assert np.abs(d.X[-1]).mean() > np.abs(d.X[0]).mean()
+
+    def test_burgers_physics(self):
+        d = datagen.burgers()
+        assert d.X.shape == (101, 41)
+        assert np.isfinite(d.X).all()
+        # Dirichlet boundaries stay pinned, amplitude decays
+        np.testing.assert_allclose(d.X[:, 0], 0.0, atol=1e-12)
+        np.testing.assert_allclose(d.X[:, -1], 0.0, atol=1e-12)
+        assert np.abs(d.X[-1]).max() < np.abs(d.X[0]).max()
+
+    def test_schrodinger_physics(self):
+        d = datagen.schrodinger(substeps=30)
+        assert d.X.shape[1] == 402
+        assert np.isfinite(d.X).all()
+        # NLS conserves mass: ||u|^2 dx constant
+        n = 201
+        mass = ((d.X[:, :n] ** 2 + d.X[:, n:] ** 2).sum(axis=1) * d.dx)
+        np.testing.assert_allclose(mass, mass[0], rtol=1e-3)
+
+
+class TestSourceExperiments:
+    def test_fkpp_short_training_descends(self):
+        from kanodes_tpu.experiments.pde_source import SourceConfig, run
+        cfg = SourceConfig(problem="fisher_kpp", iters=300, eval_every=300)
+        out = run(cfg)
+        h = np.asarray(out["loss_history"])
+        assert np.isfinite(h).all() and h[-1] < h[0]
+
+    def test_allen_cahn_short_training_descends(self):
+        from kanodes_tpu.experiments.pde_source import SourceConfig, run
+        cfg = SourceConfig(problem="allen_cahn", iters=300, eval_every=300,
+                           substeps=2)
+        out = run(cfg)
+        h = np.asarray(out["loss_history"])
+        assert np.isfinite(h).all() and h[-1] < h[0]
+
+    def test_recover_source_api(self):
+        from kanodes_tpu.experiments.pde_source import (SourceConfig, run,
+                                                        recover_source)
+        cfg = SourceConfig(problem="fisher_kpp", iters=100, eval_every=100)
+        out = run(cfg)
+        rec = recover_source(out, generations=30, seed=1)
+        assert isinstance(rec["pretty"], str) and len(rec["pretty"]) > 0
+
+
+class TestSurrogateExperiments:
+    @pytest.mark.parametrize("problem,substeps", [("burgers", 10),
+                                                  ("allen_cahn", 4)])
+    def test_short_training_descends(self, problem, substeps):
+        from kanodes_tpu.experiments.pde_surrogate import (SurrogateConfig,
+                                                           run)
+        cfg = SurrogateConfig(problem=problem, iters=150, eval_every=150,
+                              substeps=substeps)
+        out = run(cfg)
+        h = np.asarray(out["loss_history"])
+        assert np.isfinite(h).all() and h[-1] < h[0]
+
+    def test_shooting_mode(self):
+        from kanodes_tpu.experiments.pde_surrogate import (SurrogateConfig,
+                                                           run)
+        cfg = SurrogateConfig(problem="burgers", iters=100, eval_every=100,
+                              substeps=10, solve_mode="shooting")
+        out = run(cfg)
+        assert np.isfinite(np.asarray(out["loss_history"])).all()
+
+    def test_schrodinger_loss_evaluates(self):
+        # full training is heavy; assert one loss+grad step works
+        from kanodes_tpu.experiments.pde_surrogate import (SurrogateConfig,
+                                                           make_data,
+                                                           make_model,
+                                                           make_fns)
+        cfg = SurrogateConfig(problem="schrodinger", substeps=40)
+        data = make_data(cfg)
+        model = make_model(cfg, data)
+        assert model.in_dims == 402
+        params = model.init(jax.random.PRNGKey(0))
+        train_loss, _, _ = make_fns(cfg, model, data)
+        l, g = jax.value_and_grad(train_loss)(params)
+        assert bool(jnp.isfinite(l))
+        assert all(bool(jnp.all(jnp.isfinite(x)))
+                   for x in jax.tree_util.tree_leaves(g))

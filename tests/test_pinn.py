@@ -1,0 +1,187 @@
+"""Strain-limiting KAN-PINN: geometry, residual fidelity, losses,
+short training, gates."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kanodes_tpu.pinn import geometry as G
+from kanodes_tpu.pinn import losses as L
+from kanodes_tpu.pinn.model import GaussianKANLayer, KANPINN
+from kanodes_tpu.pinn.train import (PINNConfig, sample_epoch_batch, train,
+                                    cross_verification, pde_weight_schedule)
+
+
+@pytest.fixture
+def geo():
+    return G.Geometry()
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+class TestGeometry:
+    def test_void_test(self, geo):
+        assert bool(geo.in_void(0.6, 0.5))            # on the notch axis
+        assert not bool(geo.in_void(0.4, 0.5))        # left of tip
+        assert not bool(geo.in_void(0.6, 0.8))        # above the wedge
+        assert bool(geo.in_void(0.99999, 0.45))       # inside wedge near mouth
+        assert not bool(geo.in_void(0.99999, 0.35))   # below the wedge
+        # mouth points lie on the far boundary-ish
+        pu, pl = geo.mouth_points()
+        assert pu[0] == pytest.approx(0.5 + 0.5 * np.cos(np.radians(10)))
+
+    def test_samplers_avoid_void(self, geo, rng):
+        for fn in (G.sample_interior_uniform, G.sample_refine_box,
+                   G.sample_tip_strip, G.sample_tip_annulus):
+            pts = fn(geo, rng, 200)
+            assert pts.shape == (200, 2)
+            assert not geo.in_void(pts[:, 0], pts[:, 1]).any(), fn.__name__
+
+    def test_tip_strip_left_of_tip(self, geo, rng):
+        pts = G.sample_tip_strip(geo, rng, 300)
+        assert (pts[:, 0] <= geo.tip[0] + 1e-6).all()
+        # inside the mirrored wedge (acceptance region)
+        half = np.tan(geo.notch_angle / 2) * (geo.tip[0] - pts[:, 0])
+        assert (np.abs(pts[:, 1] - geo.tip[1]) <= half + 1e-6).all()
+
+    def test_boundaries(self, geo, rng):
+        b = G.sample_boundaries(geo, rng, 64)
+        assert set(b) == set(G.ALL_LABELS)
+        np.testing.assert_allclose(b["G1"][:, 0], geo.xmin)
+        np.testing.assert_allclose(b["G2"][:, 0], geo.xmax)
+        # G2 avoids the notch mouth span
+        pu, pl = geo.mouth_points()
+        ylo, yhi = sorted((pl[1], pu[1]))
+        assert ((b["G2"][:, 1] < ylo) | (b["G2"][:, 1] > yhi)).all()
+        # notch faces are in the void boundary (distance from tip <= L)
+        d = np.linalg.norm(b["G5a"] - np.asarray(geo.tip), axis=1)
+        assert (d <= geo.notch_length + 1e-6).all()
+
+    def test_dirichlet_targets(self, geo, rng):
+        b = G.sample_boundaries(geo, rng, 8)
+        assert (G.dirichlet_target("G1", b["G1"]) == 1.0).all()
+        assert (G.dirichlet_target("G2", b["G2"]) == 0.0).all()
+        np.testing.assert_allclose(G.dirichlet_target("G3", b["G3"]),
+                                   -(b["G3"][:, 0] - 1.0), rtol=1e-6)
+
+
+class TestModel:
+    def test_layer_shapes_and_grads(self):
+        l = GaussianKANLayer(2, 8, 6)
+        p = l.init(jax.random.PRNGKey(0))
+        y = l.apply(p, jnp.ones((5, 2)) * 0.3)
+        assert y.shape == (5, 8)
+        g = jax.grad(lambda p: jnp.sum(l.apply(p, jnp.ones((3, 2))) ** 2))(p)
+        assert float(jnp.abs(g["centers"]).max()) > 0   # trainable centers
+
+    def test_fixed_centers_variant(self):
+        l = GaussianKANLayer(2, 4, 6, trainable_centers=False)
+        p = l.init(jax.random.PRNGKey(0))
+        g = jax.grad(lambda p: jnp.sum(l.apply(p, jnp.ones((3, 2))) ** 2))(p)
+        assert float(jnp.abs(g["centers"]).max()) == 0.0
+        assert float(jnp.abs(g["logwidth"]).max()) == 0.0
+
+    def test_pinn_forward(self):
+        net = KANPINN((2, 16, 16, 1), n_basis=8)
+        p = net.init(jax.random.PRNGKey(1))
+        phi = net.phi(p, jnp.asarray([[0.5, 0.5], [0.1, 0.9]]))
+        assert phi.shape == (2,)
+
+
+class TestResidual:
+    def test_residual_on_harmonic_field_linear_flux(self):
+        """For alpha-degenerate material (beta=0) the flux is grad/2mu,
+        so div q = lap(phi)/(2mu); a harmonic phi gives ~0 residual."""
+        mat = L.Material(mu=1.0, beta=0.0, alpha=1.0)
+
+        def phi(p):
+            return p[0] ** 2 - p[1] ** 2     # harmonic
+
+        xy = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (50, 2)),
+                         jnp.float32)
+        r = L.pde_residual(phi, xy, mat)
+        np.testing.assert_allclose(r, 0.0, atol=1e-4)
+        # non-harmonic field: residual = lap/(2mu) = 4/2 = 2
+        r2 = L.pde_residual(lambda p: p[0] ** 2 + p[1] ** 2, xy, mat)
+        np.testing.assert_allclose(r2, 2.0, rtol=1e-3, atol=1e-3)
+
+    def test_fd_residual_matches_autograd(self):
+        mat = L.Material()
+        net = KANPINN((2, 8, 1), n_basis=6)
+        params = net.init(jax.random.PRNGKey(2))
+
+        def phi(p):
+            return net.phi(params, p)
+
+        xy = jnp.asarray(np.random.default_rng(1).uniform(0.1, 0.4, (20, 2)),
+                         jnp.float32)
+        r_ad = L.pde_residual(phi, xy, mat)
+        r_fd = L.pde_residual_fd(phi, xy, mat, fd_eps=1e-3)
+        np.testing.assert_allclose(r_ad, r_fd, rtol=0.05, atol=1e-3)
+
+    def test_stress_definition(self):
+        def phi(p):
+            return 3.0 * p[0] + 2.0 * p[1]
+
+        xy = jnp.zeros((4, 2))
+        txz, tyz, teq = L.stress(phi, xy)
+        np.testing.assert_allclose(txz, 2.0, rtol=1e-6)
+        np.testing.assert_allclose(tyz, -3.0, rtol=1e-6)
+        np.testing.assert_allclose(teq, np.sqrt(13.0), rtol=1e-5)
+
+
+class TestTraining:
+    def test_pde_weight_schedule(self):
+        cfg = PINNConfig(pretrain_epochs=100, pde_ramp_epochs=200)
+        assert pde_weight_schedule(cfg, 0) == 0.0
+        assert pde_weight_schedule(cfg, 99) == 0.0
+        assert pde_weight_schedule(cfg, 200) == pytest.approx(0.5)
+        assert pde_weight_schedule(cfg, 1000) == 1.0
+
+    @pytest.fixture
+    def tiny_cfg(self):
+        return PINNConfig(
+            widths=(2, 12, 1), n_basis=6, adam_epochs=30,
+            finetune_epochs=10, pretrain_epochs=5, pde_ramp_epochs=10,
+            n_interior_uniform=64, n_interior_refine=32,
+            n_interior_tip_strip=64, n_interior_tip_annulus=32,
+            n_boundary_each=24, val_n_interior_uniform=64,
+            val_n_interior_refine=32, val_n_interior_tip_strip=64,
+            val_n_interior_tip_annulus=32, val_n_boundary_each=24,
+            validation_every=10)
+
+    def test_short_training_descends_and_verifies(self, tiny_cfg):
+        out = train(tiny_cfg)
+        h = out["history"]
+        assert np.isfinite(h["loss"]).all()
+        assert h["loss"][-1] < h["loss"][0]
+        diag = cross_verification(out, n_grid=21)
+        assert np.isfinite(diag["pde_residual_mean_abs"])
+        assert diag["nonfinite_grid_points"] == 0
+
+    def test_julia_flavor_trains(self):
+        cfg = PINNConfig.julia_small()
+        cfg = PINNConfig(**{**cfg.__dict__, "adam_epochs": 20,
+                            "finetune_epochs": 5,
+                            "n_interior_uniform": 64,
+                            "n_interior_refine": 32,
+                            "n_interior_tip_strip": 32,
+                            "val_n_interior_tip_strip": 32,
+                            "n_boundary_each": 16,
+                            "validation_every": 10})
+        out = train(cfg)
+        assert np.isfinite(out["history"]["loss"]).all()
+
+    def test_gates(self, tiny_cfg):
+        from kanodes_tpu.diag.gates import evaluate, report, GateThresholds
+        out = train(tiny_cfg)
+        diag = cross_verification(out, n_grid=21)
+        res = evaluate(diag)
+        txt = report(res)
+        assert "tip_ratio" in txt
+        # finite-grid gate must pass even for a barely-trained model
+        assert res["checks"]["finite_grid"]["ok"]
