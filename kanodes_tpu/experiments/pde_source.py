@@ -113,7 +113,8 @@ def run(cfg: SourceConfig | None = None, params=None) -> dict[str, Any]:
 
 
 def recover_source(out: dict, generations: int = 250,
-                   seed: int = 0) -> dict:
+                   seed: int = 0,
+                   ops: tuple = ("+", "-", "*")) -> dict:
     """SR post-pass on the trained 1->1 KAN over the state range — the
     reference's SRRegressor step (`Fisher-KPP_Source.jl:216-234`,
     recovered 0.9953*x*(1.0024-x))."""
@@ -128,8 +129,10 @@ def recover_source(out: dict, generations: int = 250,
         u = jnp.asarray(u, jnp.float32)
         return np.asarray(model.apply(params, u[:, None])[:, 0])
 
+    # polynomial-only ops by default: the reference's source laws are
+    # polynomial and '/' invites rational overfits of KAN approx error
     fit = fit_scalar_function(learned, lo, hi, generations=generations,
-                              seed=seed)
+                              seed=seed, ops=ops)
     return {"fit": fit, "pretty": simplify_expression(fit.expression),
             "range": (lo, hi)}
 

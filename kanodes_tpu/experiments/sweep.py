@@ -1,0 +1,179 @@
+"""Parameter-efficiency sweep (the paper's Fig. 3C / section A2 study).
+
+The reference produced its KAN-vs-MLP loss-vs-size trend by hand-editing
+`layer_width`/`grid_size` and re-running the LV driver for 1e5 CPU
+iterations per point, then hardcoding the converged losses into
+`trend_plotter.py:7-14`. Here the whole sweep is one function:
+
+  * different network SIZES train sequentially (shapes differ, so no
+    vmap), each with the fast fused-kernel shooting curriculum — a few
+    seconds per point instead of CPU-hours;
+  * same-shape ENSEMBLES (seed / learning-rate grids) train as one
+    vmapped, mesh-sharded program (`parallel/sharding.py`) — the
+    capability SURVEY.md §2.9 calls out as the DP upgrade.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import lax
+
+from kanodes_tpu.experiments import lv as lv_mod
+
+# the reference's published sweep points (trend_plotter.py:7-11)
+REFERENCE_KAN_TREND = {64: 1.4e-4, 80: 5.2e-5, 96: 1.2e-4, 120: 1.9e-5,
+                       144: 1.6e-5, 240: 8.3e-7, 480: 6.6e-7, 960: 6.1e-7}
+REFERENCE_MLP_TREND = {52: 4.7e-4, 252: 4.14e-5, 502: 1.6e-5}
+
+
+@dataclasses.dataclass(frozen=True)
+class SweepPoint:
+    model: str                  # kan | mlp
+    layer_width: int = 10
+    grid_size: int = 5
+    mlp_hidden: int = 50
+
+
+# KAN sweep matching the reference's param counts:
+# params = 12*W*G/5... for [2,W,2] grid G: 4*W*G + 4*W
+KAN_SWEEP = (
+    SweepPoint("kan", layer_width=4, grid_size=3),    # 64
+    SweepPoint("kan", layer_width=5, grid_size=3),    # 80
+    SweepPoint("kan", layer_width=4, grid_size=5),    # 96
+    SweepPoint("kan", layer_width=5, grid_size=5),    # 120
+    SweepPoint("kan", layer_width=6, grid_size=5),    # 144
+    SweepPoint("kan", layer_width=10, grid_size=5),   # 240
+    SweepPoint("kan", layer_width=20, grid_size=5),   # 480
+    SweepPoint("kan", layer_width=40, grid_size=5),   # 960
+)
+MLP_SWEEP = (
+    SweepPoint("mlp", mlp_hidden=10),                 # 52
+    SweepPoint("mlp", mlp_hidden=50),                 # 252
+    SweepPoint("mlp", mlp_hidden=100),                # 502
+)
+
+
+def train_point(point: SweepPoint, *, shooting_iters: int = 10_000,
+                seg4_iters: int = 6_000, traj_iters: int = 6_000,
+                seed: int = 0) -> dict[str, Any]:
+    """Train one sweep point with the fast curriculum; returns the
+    trajectory-protocol train/test losses (the quantities trend_plotter
+    records)."""
+    impl = "fused" if point.model == "kan" else "xla"
+    base = lv_mod.LVConfig(model=point.model,
+                           layer_width=point.layer_width,
+                           grid_size=point.grid_size,
+                           mlp_widths=(2, point.mlp_hidden, 2),
+                           impl=impl,
+                           init_scale=1e-5 if point.model == "kan" else 1.0)
+    data = lv_mod.make_data(base)
+    model = lv_mod.make_model(base)
+    params = lv_mod.init_params(base, model)
+    n_params = model.num_params()
+
+    if point.model == "kan":
+        phases = [
+            dataclasses.replace(base, solve_mode="shooting", segment_len=1,
+                                lr=3e-3, iters=shooting_iters),
+            dataclasses.replace(base, solve_mode="shooting", segment_len=4,
+                                lr=1e-3, iters=seg4_iters),
+            dataclasses.replace(base, solve_mode="fixed", lr=3e-4,
+                                iters=traj_iters),
+        ]
+    else:
+        # tanh MLPs land in rollout-unstable basins under aggressive
+        # shooting; use a gentler schedule with a long trajectory phase
+        # (the reference trains them Adam(1e-2) full-trajectory,
+        # LV_driver_MLP.jl:92-97)
+        phases = [
+            dataclasses.replace(base, solve_mode="shooting", segment_len=4,
+                                lr=1e-3, iters=shooting_iters),
+            dataclasses.replace(base, solve_mode="fixed", lr=1e-3,
+                                iters=seg4_iters + traj_iters),
+            dataclasses.replace(base, solve_mode="fixed", lr=2e-4,
+                                iters=traj_iters),
+        ]
+    t0 = time.time()
+    for cfg in phases:
+        out = lv_mod.run(dataclasses.replace(cfg, eval_every=cfg.iters),
+                         params=params)
+        params = out["params"]
+    secs = time.time() - t0
+
+    eval_cfg = dataclasses.replace(base, solve_mode="fixed")
+    loss_fn, eval_fn, _ = lv_mod.make_ode_fns(eval_cfg, model, data)
+    return {
+        "model": point.model,
+        "n_params": n_params,
+        "train_loss": float(loss_fn(params)),
+        "test_loss": float(eval_fn(params)),
+        "seconds": secs,
+        "params": params,
+    }
+
+
+def run_sweep(points=KAN_SWEEP + MLP_SWEEP, **kw) -> list[dict]:
+    results = []
+    for p in points:
+        r = train_point(p, **kw)
+        r.pop("params")
+        results.append(r)
+    return results
+
+
+def ensemble_seeds(n: int = 8, *, iters: int = 5000, lr: float = 3e-3,
+                   mesh=None) -> dict:
+    """Train n same-shape LV KAN replicas (different inits) as ONE
+    vmapped program, optionally sharded over a device mesh axis "dp"."""
+    from kanodes_tpu.parallel.sharding import make_mesh, shard_leading
+
+    base = lv_mod.LVConfig(solve_mode="shooting", lr=lr, impl="xla")
+    data = lv_mod.make_data(base)
+    model = lv_mod.make_model(base)
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    params = jax.vmap(model.init)(keys)
+    params = jax.tree_util.tree_map(lambda x: x * base.init_scale, params)
+    loss_fn, eval_fn, _ = lv_mod.make_ode_fns(base, model, data)
+    opt = optax.adam(lr)
+    opt_state = jax.vmap(opt.init)(params)
+
+    if mesh is None and len(jax.devices()) > 1:
+        mesh = make_mesh(min(len(jax.devices()), n), ("dp",))
+    if mesh is not None:
+        params = shard_leading(params, mesh)
+
+    def member(p, s):
+        def step(c, _):
+            p, s = c
+            l, g = jax.value_and_grad(loss_fn)(p)
+            u, s = opt.update(g, s, p)
+            return (optax.apply_updates(p, u), s), l
+        (p, s), ls = lax.scan(step, (p, s), None, length=iters)
+        return p, s, ls[-1]
+
+    params, opt_state, losses = jax.jit(jax.vmap(member))(params, opt_state)
+    evals = jax.jit(jax.vmap(eval_fn))(params)
+    return {"params": params, "final_losses": np.asarray(losses),
+            "test_losses": np.asarray(evals)}
+
+
+if __name__ == "__main__":
+    import json
+
+    res = run_sweep()
+    for r in res:
+        ref = (REFERENCE_KAN_TREND if r["model"] == "kan"
+               else REFERENCE_MLP_TREND).get(r["n_params"])
+        print(f"{r['model']:>4} {r['n_params']:>4} params: "
+              f"train {r['train_loss']:.2e} test {r['test_loss']:.2e} "
+              f"({r['seconds']:.1f}s)"
+              + (f"  [reference: {ref:.2e}]" if ref else ""))
+    with open("sweep_results.json", "w") as f:
+        json.dump(res, f, indent=1)
