@@ -222,27 +222,73 @@ def make_ode_fns(cfg: LVConfig, model, data):
     return loss_fn, eval_fn, predict
 
 
-def run(cfg: LVConfig | None = None, params=None) -> dict[str, Any]:
-    """Train an LV neural ODE end to end; returns params + histories."""
+def run(cfg: LVConfig | None = None, params=None, *,
+        checkpoint_dir: str | None = None, restart: bool = False,
+        prune_threshold: float | None = None) -> dict[str, Any]:
+    """Train an LV neural ODE end to end; returns params + histories.
+
+    Restart/prune parity with the reference driver's `is_restart` /
+    `is_prune` flow (`LV_driver_KANODE.jl:18-25,146-170`): `restart`
+    loads the latest checkpoint from `checkpoint_dir`; `prune_threshold`
+    prunes weak hidden nodes before (re)training, rebuilding a narrower
+    chain (the new width is reflected in the returned model).
+    """
     cfg = cfg or LVConfig()
     data = make_data(cfg)
     model = make_model(cfg)
+
+    ckptr = None
+    if checkpoint_dir is not None:
+        from kanodes_tpu.train.checkpoint import Checkpointer, TrainState
+        ckptr = Checkpointer(checkpoint_dir)
+        if restart and ckptr.latest_step() is not None:
+            st = ckptr.restore()
+            params = jax.tree_util.tree_map(jnp.asarray, st["params"])
+
     if params is None:
         params = init_params(cfg, model)
+
+    if prune_threshold is not None:
+        from kanodes_tpu.sparsify.prune import prune as _prune
+        res = _prune(model, params, data["X"][:data["n_train"]],
+                     threshold=prune_threshold)
+        model = res.chain
+        params = res.params
+        cfg = dataclasses.replace(cfg,
+                                  layer_width=model.layers[0].out_dims)
+
     loss_fn, eval_fn, predict = make_ode_fns(cfg, model, data)
     tc = TrainConfig(lr=cfg.lr, iters=cfg.iters, eval_every=cfg.eval_every)
     out = train(loss_fn, params, tc, eval_fn=eval_fn)
-    out.update(cfg=cfg, model=model, data=data,
-               predict=predict)
+    out.update(cfg=cfg, model=model, data=data, predict=predict)
+
+    if ckptr is not None:
+        from kanodes_tpu.train.checkpoint import TrainState
+        prev = ckptr.latest_step() or 0
+        ckptr.save(TrainState(
+            params=out["params"], step=prev + cfg.iters,
+            best_params=out["best_params"],
+            best_loss=float(out["best_loss"]),
+            loss_history=np.asarray(out["loss_history"]),
+            eval_history=np.asarray(out["eval_history"])))
     return out
 
 
 if __name__ == "__main__":
+    import sys
     import time
 
+    from kanodes_tpu.train.config import override_from_args, \
+        override_from_env
+
     cfg = LVConfig(iters=10_000)
+    cfg = override_from_env(cfg, "KANODE_LV_")
+    cfg = override_from_args(cfg, sys.argv[1:])
     t0 = time.time()
-    out = run(cfg)
+    out = run(cfg,
+              checkpoint_dir=("checkpoints/lv"
+                              if "--checkpoint" in sys.argv else None),
+              restart="--restart" in sys.argv)
     jax.block_until_ready(out["loss_history"])
     dt = time.time() - t0
     print(f"train loss {float(out['loss_history'][-1]):.3e}  "

@@ -54,6 +54,7 @@ class SurrogateConfig:
     eval_every: int = 500
     substeps: int = 20                 # per snapshot interval
     solve_mode: str = "fixed"          # fixed | shooting
+    impl: str = "xla"                  # xla | fused (whole-RK-step kernels)
     seed: int = 0
 
     def resolved_lr(self) -> float:
@@ -93,26 +94,85 @@ def make_fns(cfg: SurrogateConfig, model: KANChain,
     def rhs(t, u, params):
         return model.apply(params, u)
 
+    # snapshot intervals are non-uniform (0.1 then 0.2); the fused path
+    # unrolls them at trace time with a static per-interval step count
+    t_np = np.asarray(t_grid)
+    base_h = float(min(np.diff(t_np))) / cfg.substeps
+    interval_steps = [max(int(round((t_np[i + 1] - t_np[i]) / base_h)), 1)
+                      for i in range(len(t_np) - 1)]
+
+    if cfg.impl == "fused":
+        from kanodes_tpu.ops.kdense_pallas import chain_spec_of, \
+            fused_params
+        from kanodes_tpu.ops.rk_fused import fused_rk_step
+        spec = chain_spec_of(model)
+
+        def fused_advance(params, x, n_steps, dt_total):
+            fp = fused_params(params)
+            h = dt_total / n_steps
+
+            def body(c, _):
+                return fused_rk_step(spec, "tsit5", h, c, *fp), None
+
+            x, _ = jax.lax.scan(body, x, None, length=n_steps)
+            return x
+
     def predict(params):
-        ys = odeint_fixed(rhs, u0, t_grid, params, solver="tsit5",
-                          substeps=cfg.substeps)
+        if cfg.impl == "fused":
+            x = u0[None]
+            rows = [x]
+            for i, n in enumerate(interval_steps):
+                x = fused_advance(params, x,
+                                  n, float(t_np[i + 1] - t_np[i]))
+                rows.append(x)
+            ys = jnp.concatenate(rows, axis=0)
+        else:
+            ys = odeint_fixed(rhs, u0, t_grid, params, solver="tsit5",
+                              substeps=cfg.substeps)
         return ys if idx[0] == 0 else ys[1:]
 
     def loss_fn(params):
         return jnp.mean((predict(params) - X_snap) ** 2)
 
+    # segment structure is static: compute on host at closure scope
+    ts_snap_np = np.asarray(data.ts[idx], np.float64)
+    if idx[0] == 0:
+        seg_t0_np = ts_snap_np[:-1]
+        seg_t1_np = ts_snap_np[1:]
+    else:
+        seg_t0_np = np.concatenate([[0.0], ts_snap_np[:-1]])
+        seg_t1_np = ts_snap_np
+    seg_lens_np = np.round(seg_t1_np - seg_t0_np, 9)
+
     def shooting_loss(params):
         """Snapshot-to-snapshot shooting: integrate each inter-snapshot
         interval from the data, batched (TPU-native objective)."""
-        starts = X_snap[:-1]
-        targets = X_snap[1:]
+        if idx[0] == 0:
+            starts, targets = X_snap[:-1], X_snap[1:]
+            seg_ts0, seg_ts1 = ts_snap[:-1], ts_snap[1:]
+        else:
+            # include the u0 -> first-snapshot segment
+            starts = jnp.concatenate([u0[None], X_snap[:-1]], axis=0)
+            targets = X_snap
+            seg_ts0 = jnp.concatenate([jnp.zeros(1), ts_snap[:-1]])
+            seg_ts1 = ts_snap
+        if cfg.impl == "fused":
+            # group segments by (static) interval length; each group is
+            # one batched fused solve with its own dt
+            preds = jnp.zeros_like(targets)
+            for length in sorted(set(seg_lens_np.tolist())):
+                sel = np.where(seg_lens_np == length)[0]
+                n = max(int(round(length / base_h)), 1)
+                x = fused_advance(params, starts[sel], n, float(length))
+                preds = preds.at[sel].set(x)
+            return jnp.mean((preds - targets) ** 2)
 
         def seg(u_s, t0, t1):
             seg_ts = jnp.stack([t0, t1])
             return odeint_fixed(rhs, u_s, seg_ts, params, solver="tsit5",
                                 substeps=cfg.substeps)[-1]
 
-        preds = jax.vmap(seg)(starts, ts_snap[:-1], ts_snap[1:])
+        preds = jax.vmap(seg)(starts, seg_ts0, seg_ts1)
         return jnp.mean((preds - targets) ** 2)
 
     train_loss = shooting_loss if cfg.solve_mode == "shooting" else loss_fn

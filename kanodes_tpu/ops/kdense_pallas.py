@@ -43,13 +43,15 @@ def _interpret_default() -> bool:
 
 @dataclasses.dataclass(frozen=True)
 class ChainSpec:
-    """Static description of a 2-layer KDense chain (rbf/tanh/swish)."""
+    """Static description of a 2-layer KDense chain (rbf basis, swish
+    base act, tanh or softsign normalizer)."""
     in_dims: int
     hidden: int
     out_dims: int
     grid_len: int
     grid_lims: tuple[float, float] = (-1.0, 1.0)
     denominator: float | None = None
+    normalizer: str = "tanh"
 
     @property
     def h(self) -> float:
@@ -77,6 +79,24 @@ class ChainSpec:
         return self.collapse(n_inputs).T.copy()
 
 
+def _norm(x, kind: str):
+    if kind == "tanh":
+        return jnp.tanh(x)
+    if kind == "softsign":
+        return x / (1.0 + jnp.abs(x))
+    raise ValueError(kind)
+
+
+def _dnorm(x, kind: str):
+    if kind == "tanh":
+        t = jnp.tanh(x)
+        return 1.0 - t * t
+    if kind == "softsign":
+        d = 1.0 + jnp.abs(x)
+        return 1.0 / (d * d)
+    raise ValueError(kind)
+
+
 def _swish(x):
     return x * jax.nn.sigmoid(x)
 
@@ -86,10 +106,10 @@ def _dswish(x):
     return s * (1.0 + x * (1.0 - s))
 
 
-def _layer_fwd(x, c, w, gflat, h, expand):
+def _layer_fwd(x, c, w, gflat, h, expand, normalizer="tanh"):
     """One KDense layer on 2-D blocks: x[K,I], c[I*G,O], w[I,O],
     gflat[1,I*G], expand[I,I*G]. Returns (y, u, basis)."""
-    xn = jnp.tanh(x)
+    xn = _norm(x, normalizer)
     xn_rep = jnp.dot(xn, expand, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
     u = (xn_rep - gflat) * (1.0 / h)
@@ -101,7 +121,8 @@ def _layer_fwd(x, c, w, gflat, h, expand):
     return y, u, basis
 
 
-def _layer_bwd(x, c, w, gflat, h, u, basis, gy, collapse):
+def _layer_bwd(x, c, w, gflat, h, u, basis, gy, collapse,
+               normalizer="tanh"):
     """Backward of one layer. gy: [K, O]. Returns (dx, dc, dw)."""
     dc = jnp.dot(basis.T, gy, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
@@ -114,8 +135,7 @@ def _layer_bwd(x, c, w, gflat, h, u, basis, gy, collapse):
     dxn = jnp.dot(dxn_rep, collapse,
                   preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)           # [K, I]
-    xn = jnp.tanh(x)
-    dx = dxn * (1.0 - xn * xn) + jnp.dot(
+    dx = dxn * _dnorm(x, normalizer) + jnp.dot(
         gy, w.T, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST) * _dswish(x)
     return dx, dc, dw
@@ -128,9 +148,9 @@ def _layer_bwd(x, c, w, gflat, h, u, basis, gy, collapse):
 def _chain_fwd_kernel(spec, x_ref, c1_ref, w1_ref, c2_ref, w2_ref,
                       g1_ref, g2_ref, e1_ref, e2_ref, y_ref, y1_ref):
     y1, _, _ = _layer_fwd(x_ref[:], c1_ref[:], w1_ref[:], g1_ref[:], spec.h,
-                          e1_ref[:])
+                          e1_ref[:], spec.normalizer)
     y2, _, _ = _layer_fwd(y1, c2_ref[:], w2_ref[:], g2_ref[:], spec.h,
-                          e2_ref[:])
+                          e2_ref[:], spec.normalizer)
     y_ref[:] = y2
     y1_ref[:] = y1
 
@@ -141,13 +161,13 @@ def _chain_bwd_kernel(spec, x_ref, y1_ref, c1_ref, w1_ref, c2_ref, w2_ref,
     x, y1, gy = x_ref[:], y1_ref[:], gy_ref[:]
     # recompute cheap forward intermediates (basis tensors)
     _, u2, b2 = _layer_fwd(y1, c2_ref[:], w2_ref[:], g2_ref[:], spec.h,
-                           e2_ref[:])
+                           e2_ref[:], spec.normalizer)
     dy1, dc2, dw2 = _layer_bwd(y1, c2_ref[:], w2_ref[:], g2_ref[:], spec.h,
-                               u2, b2, gy, s2_ref[:])
+                               u2, b2, gy, s2_ref[:], spec.normalizer)
     _, u1, b1 = _layer_fwd(x, c1_ref[:], w1_ref[:], g1_ref[:], spec.h,
-                           e1_ref[:])
+                           e1_ref[:], spec.normalizer)
     dx, dc1, dw1 = _layer_bwd(x, c1_ref[:], w1_ref[:], g1_ref[:], spec.h,
-                              u1, b1, dy1, s1_ref[:])
+                              u1, b1, dy1, s1_ref[:], spec.normalizer)
     dx_ref[:] = dx
     dc1_ref[:] = dc1
     dw1_ref[:] = dw1
@@ -232,14 +252,17 @@ def chain_spec_of(chain) -> ChainSpec:
         raise ValueError("fused path supports exactly 2 layers")
     l1, l2 = chain.layers
     for l in (l1, l2):
-        if (l.basis, l.normalizer, l.base_act, l.use_base_act) != \
-                ("rbf", "tanh", "swish", True):
-            raise ValueError("fused path requires rbf/tanh/swish+base_act")
-        if l.grid_len != l1.grid_len or l.grid_lims != l1.grid_lims:
-            raise ValueError("fused path requires shared grid config")
+        if (l.basis, l.base_act, l.use_base_act) != \
+                ("rbf", "swish", True) or \
+                l.normalizer not in ("tanh", "softsign"):
+            raise ValueError("fused path requires rbf basis, swish base "
+                             "act, and a tanh/softsign normalizer")
+        if l.grid_len != l1.grid_len or l.grid_lims != l1.grid_lims \
+                or l.normalizer != l1.normalizer:
+            raise ValueError("fused path requires shared grid/normalizer")
     return ChainSpec(l1.in_dims, l1.out_dims, l2.out_dims, l1.grid_len,
                      tuple(float(v) for v in l1.grid_lims),
-                     l1.denominator)
+                     l1.denominator, l1.normalizer)
 
 
 def fused_params(chain_params) -> tuple[Array, Array, Array, Array]:
@@ -253,17 +276,20 @@ def fused_params(chain_params) -> tuple[Array, Array, Array, Array]:
 # single-layer fused kernel (KDense.apply(..., impl="pallas"))
 # ---------------------------------------------------------------------------
 
-def _single_fwd_kernel(h, x_ref, c_ref, w_ref, g_ref, e_ref, y_ref):
-    y, _, _ = _layer_fwd(x_ref[:], c_ref[:], w_ref[:], g_ref[:], h, e_ref[:])
+def _single_fwd_kernel(h, normalizer, x_ref, c_ref, w_ref, g_ref, e_ref,
+                       y_ref):
+    y, _, _ = _layer_fwd(x_ref[:], c_ref[:], w_ref[:], g_ref[:], h,
+                         e_ref[:], normalizer)
     y_ref[:] = y
 
 
-def _single_bwd_kernel(h, x_ref, c_ref, w_ref, g_ref, e_ref, s_ref, gy_ref,
-                       dx_ref, dc_ref, dw_ref):
+def _single_bwd_kernel(h, normalizer, x_ref, c_ref, w_ref, g_ref, e_ref,
+                       s_ref, gy_ref, dx_ref, dc_ref, dw_ref):
     x, gy = x_ref[:], gy_ref[:]
-    _, u, b = _layer_fwd(x, c_ref[:], w_ref[:], g_ref[:], h, e_ref[:])
+    _, u, b = _layer_fwd(x, c_ref[:], w_ref[:], g_ref[:], h, e_ref[:],
+                         normalizer)
     dx, dc, dw = _layer_bwd(x, c_ref[:], w_ref[:], g_ref[:], h, u, b, gy,
-                            s_ref[:])
+                            s_ref[:], normalizer)
     dx_ref[:] = dx
     dc_ref[:] = dc
     dw_ref[:] = dw
@@ -278,7 +304,7 @@ def kdense_single_apply(spec: ChainSpec, x, c, w,
     g = jnp.asarray(spec.grid_flat(spec.in_dims))
     e = jnp.asarray(spec.expand(spec.in_dims))
     return pl.pallas_call(
-        partial(_single_fwd_kernel, spec.h),
+        partial(_single_fwd_kernel, spec.h, spec.normalizer),
         out_shape=jax.ShapeDtypeStruct((x.shape[0], c.shape[1]),
                                        jnp.float32),
         interpret=interpret,
@@ -297,7 +323,7 @@ def _ksa_bwd(spec, interpret, res, gy):
     e = jnp.asarray(spec.expand(spec.in_dims))
     s = jnp.asarray(spec.collapse(spec.in_dims))
     dx, dc, dw = pl.pallas_call(
-        partial(_single_bwd_kernel, spec.h),
+        partial(_single_bwd_kernel, spec.h, spec.normalizer),
         out_shape=(
             jax.ShapeDtypeStruct(x.shape, jnp.float32),
             jax.ShapeDtypeStruct(c.shape, jnp.float32),
@@ -313,13 +339,15 @@ kdense_single_apply.defvjp(_ksa_fwd, _ksa_bwd)
 
 def kdense_pallas(layer, params, x):
     """Dispatch target for `KDense.apply(..., impl="pallas")`."""
-    if (layer.basis, layer.normalizer, layer.base_act,
-            layer.use_base_act) != ("rbf", "tanh", "swish", True):
-        raise ValueError("fused path requires rbf/tanh/swish+base_act")
+    if (layer.basis, layer.base_act, layer.use_base_act) != \
+            ("rbf", "swish", True) or \
+            layer.normalizer not in ("tanh", "softsign"):
+        raise ValueError("fused path requires rbf basis, swish base act, "
+                         "and a tanh/softsign normalizer")
     spec = ChainSpec(layer.in_dims, layer.out_dims, layer.out_dims,
                      layer.grid_len,
                      tuple(float(v) for v in layer.grid_lims),
-                     layer.denominator)
+                     layer.denominator, layer.normalizer)
     c = params["C"].reshape(-1, params["C"].shape[-1])
     w = params["W"]
     single = x.ndim == 1

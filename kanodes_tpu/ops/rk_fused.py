@@ -68,20 +68,23 @@ def _needed_stages(tab: Tableau) -> list[bool]:
     return needed
 
 
-def _chain_f(x, c1, w1, c2, w2, g1, g2, e1, e2, h):
+def _chain_f(x, c1, w1, c2, w2, g1, g2, e1, e2, h, normalizer="tanh"):
     """2-layer KDense chain forward (returns y2 and the y1 intermediate)."""
-    y1, _, _ = _layer_fwd(x, c1, w1, g1, h, e1)
-    y2, _, _ = _layer_fwd(y1, c2, w2, g2, h, e2)
+    y1, _, _ = _layer_fwd(x, c1, w1, g1, h, e1, normalizer)
+    y2, _, _ = _layer_fwd(y1, c2, w2, g2, h, e2, normalizer)
     return y2, y1
 
 
-def _chain_vjp(x, y1, c1, w1, c2, w2, g1, g2, e1, e2, s1, s2, h, gy):
+def _chain_vjp(x, y1, c1, w1, c2, w2, g1, g2, e1, e2, s1, s2, h, gy,
+               normalizer="tanh"):
     """VJP of the chain at x (y1 = stored intermediate). Returns
     (dx, dc1, dw1, dc2, dw2)."""
-    _, u2, b2 = _layer_fwd(y1, c2, w2, g2, h, e2)
-    dy1, dc2, dw2 = _layer_bwd(y1, c2, w2, g2, h, u2, b2, gy, s2)
-    _, u1, b1 = _layer_fwd(x, c1, w1, g1, h, e1)
-    dx, dc1, dw1 = _layer_bwd(x, c1, w1, g1, h, u1, b1, dy1, s1)
+    _, u2, b2 = _layer_fwd(y1, c2, w2, g2, h, e2, normalizer)
+    dy1, dc2, dw2 = _layer_bwd(y1, c2, w2, g2, h, u2, b2, gy, s2,
+                               normalizer)
+    _, u1, b1 = _layer_fwd(x, c1, w1, g1, h, e1, normalizer)
+    dx, dc1, dw1 = _layer_bwd(x, c1, w1, g1, h, u1, b1, dy1, s1,
+                              normalizer)
     return dx, dc1, dw1, dc2, dw2
 
 
@@ -99,7 +102,8 @@ def _step_fwd_kernel(spec, tab, dt, needed,
         for j in range(i):
             if tab.a[i][j] != 0.0 and ks[j] is not None:
                 xi = xi + (dt * tab.a[i][j]) * ks[j]
-        ks[i], _ = _chain_f(xi, c1, w1, c2, w2, g1, g2, e1, e2, spec.h)
+        ks[i], _ = _chain_f(xi, c1, w1, c2, w2, g1, g2, e1, e2, spec.h,
+                            spec.normalizer)
     y = x
     for i in range(tab.stages):
         if tab.b[i] != 0.0:
@@ -130,7 +134,8 @@ def _step_bwd_kernel(spec, tab, dt, needed,
             if tab.a[i][j] != 0.0 and ks[j] is not None:
                 xi = xi + (dt * tab.a[i][j]) * ks[j]
         xs[i] = xi
-        ks[i], y1s[i] = _chain_f(xi, c1, w1, c2, w2, g1, g2, e1, e2, spec.h)
+        ks[i], y1s[i] = _chain_f(xi, c1, w1, c2, w2, g1, g2, e1, e2,
+                                 spec.h, spec.normalizer)
 
     # reverse recursion
     xbar = gy
@@ -147,7 +152,7 @@ def _step_bwd_kernel(spec, tab, dt, needed,
             continue
         dxi, dc1i, dw1i, dc2i, dw2i = _chain_vjp(
             xs[i], y1s[i], c1, w1, c2, w2, g1, g2, e1, e2, s1, s2,
-            spec.h, kbar[i])
+            spec.h, kbar[i], spec.normalizer)
         xbar = xbar + dxi
         dc1 = dc1 + dc1i
         dw1 = dw1 + dw1i

@@ -115,3 +115,25 @@ def test_ode_solve_with_fused_rhs_matches_xla(chain, cparams):
     for a, b in zip(jax.tree_util.tree_leaves(gp),
                     jax.tree_util.tree_leaves(gx)):
         np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-5)
+
+
+def test_softsign_normalizer_chain_matches_xla():
+    chain = KANChain.mlp_like([3, 6, 3], grid_len=5, normalizer="softsign")
+    params = chain.init(jax.random.PRNGKey(7))
+    x = jax.random.normal(jax.random.PRNGKey(8), (5, 3))
+    spec = chain_spec_of(chain)
+    y_pal = kan_chain_apply(spec, x, *fused_params(params), True)
+    np.testing.assert_allclose(y_pal, chain.apply(params, x),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss_pal(p):
+        return jnp.sum(kan_chain_apply(spec, x, *fused_params(p), True) ** 2)
+
+    def loss_xla(p):
+        return jnp.sum(chain.apply(p, x) ** 2)
+
+    gp = jax.grad(loss_pal)(params)
+    gx = jax.grad(loss_xla)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gp),
+                    jax.tree_util.tree_leaves(gx)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5)
