@@ -94,20 +94,24 @@ def run_pipeline(cfg: SymbolicPipelineConfig | None = None,
         generations=cfg.sr_generations // 2, seed=cfg.seed)
 
     # -- 3b. global 2-var fits of the learned RHS ------------------------
-    from kanodes_tpu.symbolic.engine import fit_expression
+    # sample ON the training trajectory (+ small jitter): the KAN is only
+    # constrained where data visited; uniform box samples would pollute
+    # the fit with unconstrained extrapolation regions
+    from kanodes_tpu.symbolic.fit import compact_fit
 
     rng = np.random.default_rng(cfg.seed)
     Xs = np.asarray(X_train)
-    lo, hi = Xs.min(axis=0), Xs.max(axis=0)
-    samples = rng.uniform(lo, hi, (600, 2)).astype(np.float32)
+    span = Xs.max(axis=0) - Xs.min(axis=0)
+    reps = 12
+    base = np.tile(Xs, (reps, 1))
+    jitter = rng.normal(0, 0.03, base.shape) * span
+    samples = (base + jitter).astype(np.float32)
     rhs_vals = np.asarray(model_p.apply(params_p, jnp.asarray(samples)))
     global_eqs, global_pretty = [], []
     for d in range(2):
-        fit = fit_expression(samples, rhs_vals[:, d],
-                             ops=("+", "-", "*"),
-                             generations=cfg.sr_generations,
-                             restarts=cfg.sr_restarts,
-                             parsimony=3e-3, seed=cfg.seed + d)
+        fit = compact_fit(samples, rhs_vals[:, d], ops=("+", "-", "*"),
+                          generations=cfg.sr_generations,
+                          restarts=cfg.sr_restarts, seed=cfg.seed + d)
         global_eqs.append(fit)
         global_pretty.append(simplify_expression(fit.expression))
 

@@ -81,6 +81,26 @@ def fit_edge_activations(chain, params, x, *, ops=("+", "-", "*", "/"),
     return out
 
 
+def compact_fit(x: np.ndarray, y: np.ndarray, *,
+                ops=("+", "-", "*"), generations: int = 250,
+                seed: int = 0, parsimonies=(1e-3, 3e-2, 3e-1),
+                **kw) -> SymbolicFit:
+    """Pareto-style selection: fit at several parsimony pressures and
+    return the SHORTEST expression whose MSE is within a tolerance band
+    of the best (overfitting a learned model's approximation error with
+    a huge genome is noise, not physics)."""
+    var = float(np.var(y)) + 1e-12
+    cands = []
+    for j, pars in enumerate(parsimonies):
+        f = fit_expression(x, y, ops=ops, generations=generations,
+                           parsimony=pars, seed=seed + 977 * j, **kw)
+        cands.append(f)
+    best_mse = min(f.mse for f in cands)
+    tol = max(2.0 * best_mse, 1e-4 * var)
+    ok = [f for f in cands if f.mse <= tol]
+    return min(ok, key=lambda f: f.size)
+
+
 def fit_scalar_function(fn, lo: float, hi: float, n: int = 400, *,
                         ops=("+", "-", "*", "/"), generations: int = 250,
                         seed: int = 0, compact: bool = True,
@@ -100,16 +120,8 @@ def fit_scalar_function(fn, lo: float, hi: float, n: int = 400, *,
     if not compact:
         return fit_expression(x, y, ops=ops, generations=generations,
                               seed=seed, **kw)
-    var = float(np.var(y)) + 1e-12
-    cands = []
-    for j, pars in enumerate((1e-3, 3e-2, 3e-1)):
-        f = fit_expression(x, y, ops=ops, generations=generations,
-                           parsimony=pars, seed=seed + 977 * j, **kw)
-        cands.append(f)
-    best_mse = min(f.mse for f in cands)
-    tol = max(2.0 * best_mse, 1e-4 * var)
-    ok = [f for f in cands if f.mse <= tol]
-    return min(ok, key=lambda f: f.size)
+    return compact_fit(x, y, ops=ops, generations=generations, seed=seed,
+                       **kw)
 
 
 def resimulate_symbolic_rhs(exprs: list[str], u0, ts, n_state: int):
