@@ -50,3 +50,25 @@ def report(result: dict) -> str:
         lines.append(f"  [{mark}] {name}: {c['value']:.6g} "
                      f"(need {c['threshold']})")
     return "\n".join(lines)
+
+
+def main(argv=None) -> int:
+    """CLI parity with `eval_pass_fail.py:113-115`: read a diagnostics
+    JSON (as written by pinn.train.cross_verification via json.dump),
+    print the report, exit 0 on PASS / 1 on FAIL."""
+    import json
+    import sys
+
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        print("usage: python -m kanodes_tpu.diag.gates <diagnostics.json>")
+        return 2
+    with open(argv[0]) as f:
+        diag = json.load(f)
+    res = evaluate(diag)
+    print(report(res))
+    return 0 if res["passed"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -134,6 +134,43 @@ def trend_plot(results: list[dict], path: str,
     return fig
 
 
+def symbolic_error_contours(kan_rhs, sym_exprs: list[str], truth_rhs,
+                            ranges, path: str, n: int = 100):
+    """Dense/sparse RHS error contours over an (x, y) mesh — the
+    Plotting_symbolic.jl:196-305 comparison: |KAN - truth| and
+    |symbolic - truth| per output dimension."""
+    plt = _plt()
+    import jax.numpy as jnp
+
+    (xlo, xhi), (ylo, yhi) = ranges
+    xs = np.linspace(xlo, xhi, n)
+    ys = np.linspace(ylo, yhi, n)
+    XX, YY = np.meshgrid(xs, ys)
+    pts = np.stack([XX.ravel(), YY.ravel()], 1).astype(np.float32)
+
+    kan = np.asarray(kan_rhs(jnp.asarray(pts)))            # [N, 2]
+    tru = np.asarray(truth_rhs(pts))                       # [N, 2]
+    env = {"x0": pts[:, 0].astype(np.float64),
+           "x1": pts[:, 1].astype(np.float64),
+           "sin": np.sin, "cos": np.cos, "exp": np.exp,
+           "square": np.square}
+    sym = np.stack([eval(e, {"__builtins__": {}}, env)     # noqa: S307
+                    for e in sym_exprs], axis=1)
+
+    fig, axes = plt.subplots(2, 2, figsize=(10, 8), dpi=150)
+    for d in range(2):
+        for col, (approx, title) in enumerate(
+                ((kan, "|KAN − truth|"), (sym, "|symbolic − truth|"))):
+            err = np.abs(approx[:, d] - tru[:, d]).reshape(n, n)
+            ax = axes[d][col]
+            c = ax.contourf(XX, YY, err, levels=31, cmap="turbo")
+            fig.colorbar(c, ax=ax)
+            ax.set_title(f"dim {d}: {title}")
+    fig.tight_layout()
+    fig.savefig(path)
+    return fig
+
+
 def pinn_field_plot(model, params, geo, path: str, n: int = 151):
     """phi and tau_eq contours over the notched plate (the PINN's
     diagnostics panels, StrainLimiting_KAN_PINN.py:1092-1178)."""

@@ -57,7 +57,7 @@ class LVConfig:
     dt: float = 0.1
     u0: tuple[float, float] = (1.0, 1.0)
     # model
-    model: str = "kan"                 # kan | mlp
+    model: str = "kan"                 # kan | mlp | bspline_kan
     layer_width: int = 10
     grid_size: int = 5
     basis: str = "rbf"
@@ -109,6 +109,12 @@ def make_model(cfg: LVConfig):
                                  normalizer=cfg.normalizer)
     if cfg.model == "mlp":
         return MLP(cfg.mlp_widths)
+    if cfg.model == "bspline_kan":
+        # the PyTorch-flavor LV model: efficient-kan B-spline chain
+        # ([2,10,2] grid 5, predator_prey.py:101)
+        from kanodes_tpu.models.bspline import BSplineKANChain
+        return BSplineKANChain([2, cfg.layer_width, 2],
+                               grid_size=cfg.grid_size)
     raise ValueError(cfg.model)
 
 

@@ -101,7 +101,13 @@ def make_fns(cfg: SurrogateConfig, model: KANChain,
     interval_steps = [max(int(round((t_np[i + 1] - t_np[i]) / base_h)), 1)
                       for i in range(len(t_np) - 1)]
 
-    if cfg.impl == "fused":
+    impl = cfg.impl
+    if impl == "fused" and model.in_dims * model.layers[0].grid_len > 2048:
+        # the fused kernel's O(I^2 G) expansion matrix exceeds VMEM for
+        # wide states (Schrödinger's 402-dim input -> 44 MB scoped);
+        # the XLA path's per-op overhead matters less at these sizes
+        impl = "xla"
+    if impl == "fused":
         from kanodes_tpu.ops.kdense_pallas import chain_spec_of, \
             fused_params
         from kanodes_tpu.ops.rk_fused import fused_rk_step
@@ -118,7 +124,7 @@ def make_fns(cfg: SurrogateConfig, model: KANChain,
             return x
 
     def predict(params):
-        if cfg.impl == "fused":
+        if impl == "fused":
             x = u0[None]
             rows = [x]
             for i, n in enumerate(interval_steps):
@@ -156,7 +162,7 @@ def make_fns(cfg: SurrogateConfig, model: KANChain,
             targets = X_snap
             seg_ts0 = jnp.concatenate([jnp.zeros(1), ts_snap[:-1]])
             seg_ts1 = ts_snap
-        if cfg.impl == "fused":
+        if impl == "fused":
             # group segments by (static) interval length; each group is
             # one batched fused solve with its own dt
             preds = jnp.zeros_like(targets)

@@ -141,8 +141,28 @@ class EpochBatch:
     sym_b: np.ndarray
 
 
+def adaptive_residual_points(cfg: PINNConfig, geo: G.Geometry,
+                             mat: L.Material, model, params, rng,
+                             n_pick: int) -> np.ndarray:
+    """Top-|residual| candidate selection (:400-431): evaluate the PDE
+    residual on a uniform candidate pool and keep the worst points."""
+    if n_pick <= 0:
+        return np.empty((0, 2), np.float32)
+    n_cand = max(cfg.adaptive_candidates, 4 * n_pick)
+    cand = G.sample_interior_uniform(geo, rng, n_cand)
+
+    def phi(p):
+        return model.phi(params, p)
+
+    r = np.abs(np.asarray(L.pde_residual(phi, jnp.asarray(cand), mat)))
+    top = np.argpartition(r, -n_pick)[-n_pick:]
+    return cand[top].astype(np.float32)
+
+
 def sample_epoch_batch(cfg: PINNConfig, geo: G.Geometry, rng,
-                       val: bool = False, n_sym: int = 128) -> EpochBatch:
+                       val: bool = False, n_sym: int = 128,
+                       adaptive_pts: np.ndarray | None = None
+                       ) -> EpochBatch:
     counts = dict(
         uniform=cfg.val_n_interior_uniform if val else cfg.n_interior_uniform,
         refine=cfg.val_n_interior_refine if val else cfg.n_interior_refine,
@@ -155,6 +175,8 @@ def sample_epoch_batch(cfg: PINNConfig, geo: G.Geometry, rng,
     # tip-loss points = the tip_strip + tip_annulus strata
     n_tail = counts["tip_strip"] + counts["tip_annulus"]
     tip_pts = interior[-n_tail:] if n_tail else np.empty((0, 2), np.float32)
+    if adaptive_pts is not None and adaptive_pts.shape[0]:
+        interior = np.concatenate([interior, adaptive_pts], axis=0)
     n_each = cfg.val_n_boundary_each if val else cfg.n_boundary_each
     bdata = G.sample_boundaries(geo, rng, n_each)
     labels = _dirichlet_labels(cfg)
@@ -275,9 +297,18 @@ def train(cfg: PINNConfig | None = None, geo: G.Geometry | None = None,
     for epoch in range(start_epoch, n_total):
         lr = cfg.learning_rate if epoch < cfg.adam_epochs \
             else cfg.finetune_lr
-        batch = sample_epoch_batch(cfg, geo, rng)
+        pde_w_now = pde_weight_schedule(cfg, epoch)
+        adapt = None
+        if cfg.n_adaptive > 0:
+            # keep batch shapes static across the curriculum: uniform
+            # filler during pretraining, top-|r| picks once the PDE is on
+            adapt = (adaptive_residual_points(cfg, geo, mat, model,
+                                              params, rng, cfg.n_adaptive)
+                     if pde_w_now > 0 else
+                     G.sample_interior_uniform(geo, rng, cfg.n_adaptive))
+        batch = sample_epoch_batch(cfg, geo, rng, adaptive_pts=adapt)
         b = _to_jax(batch)
-        pde_w = pde_weight_schedule(cfg, epoch)
+        pde_w = pde_w_now
         params, opt_state, loss, aux = step(
             params, opt_state, b["interior"], b["tip_pts"], b["bdata"],
             b["btargets"], b["sym_a"], b["sym_b"],

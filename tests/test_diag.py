@@ -110,3 +110,37 @@ def test_checkpointer_roundtrip(tmp_path):
     np.testing.assert_allclose(st["params"]["w"], np.arange(4.0))
     assert st["step"] == 30
     assert ck.restore(20)["step"] == 20
+
+
+def test_gates_cli(tmp_path):
+    import json
+    import subprocess
+    import sys
+    diag = {"tip_near_far_ratio": 1.5, "best_val": 1.0,
+            "symmetry_mean_abs": 0.01, "pde_residual_mean_abs": 1.0,
+            "nonfinite_grid_points": 0}
+    p = tmp_path / "diag.json"
+    p.write_text(json.dumps(diag))
+    from kanodes_tpu.diag.gates import main
+    assert main([str(p)]) == 0
+    diag["best_val"] = 1e9
+    p.write_text(json.dumps(diag))
+    assert main([str(p)]) == 1
+
+
+def test_symbolic_error_contours(tmp_path):
+    import jax.numpy as jnp
+    from kanodes_tpu.diag.plots import symbolic_error_contours
+
+    def kan_rhs(pts):
+        return jnp.stack([1.49 * pts[:, 0] - pts[:, 0] * pts[:, 1],
+                          pts[:, 0] * pts[:, 1] - 2.95 * pts[:, 1]], axis=1)
+
+    def truth(pts):
+        return np.stack([1.5 * pts[:, 0] - pts[:, 0] * pts[:, 1],
+                         pts[:, 0] * pts[:, 1] - 3.0 * pts[:, 1]], axis=1)
+
+    exprs = ["1.5017*x0 - x0*x1", "x0*x1 - 3.0072*x1"]
+    symbolic_error_contours(kan_rhs, exprs, truth, ((0.1, 4), (0.1, 4)),
+                            str(tmp_path / "e.png"), n=30)
+    assert (tmp_path / "e.png").exists()

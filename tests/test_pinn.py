@@ -185,3 +185,33 @@ class TestTraining:
         assert "tip_ratio" in txt
         # finite-grid gate must pass even for a barely-trained model
         assert res["checks"]["finite_grid"]["ok"]
+
+
+def test_adaptive_residual_resampling():
+    from kanodes_tpu.pinn.train import adaptive_residual_points
+    from kanodes_tpu.pinn import losses as L
+    from kanodes_tpu.pinn.model import KANPINN
+    import numpy as np
+    geo = G.Geometry()
+    mat = L.Material()
+    cfg = PINNConfig(adaptive_candidates=256)
+    model = KANPINN((2, 8, 1), n_basis=6)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    pts = adaptive_residual_points(cfg, geo, mat, model, params, rng, 32)
+    assert pts.shape == (32, 2)
+    assert not geo.in_void(pts[:, 0], pts[:, 1]).any()
+    # training with n_adaptive keeps static shapes and runs
+    tiny = PINNConfig(widths=(2, 10, 1), n_basis=6, adam_epochs=12,
+                      finetune_epochs=0, pretrain_epochs=4,
+                      pde_ramp_epochs=4, n_interior_uniform=32,
+                      n_interior_refine=16, n_interior_tip_strip=32,
+                      n_interior_tip_annulus=16, n_boundary_each=16,
+                      val_n_interior_uniform=32, val_n_interior_refine=16,
+                      val_n_interior_tip_strip=32,
+                      val_n_interior_tip_annulus=16,
+                      val_n_boundary_each=16, n_adaptive=16,
+                      adaptive_candidates=128, validation_every=6)
+    out = train(tiny)
+    import numpy as np
+    assert np.isfinite(out["history"]["loss"]).all()

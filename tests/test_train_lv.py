@@ -104,3 +104,13 @@ def test_lv_sparse_mode_penalizes():
     loss_d, _, _ = make_ode_fns(cfg_d, model, data)
     loss_s, _, _ = make_ode_fns(cfg_s, model, data)
     assert float(loss_s(params)) > float(loss_d(params))
+
+
+def test_lv_bspline_model_trains():
+    # PyTorch-flavor parity: efficient-kan B-spline chain as the RHS
+    # (predator_prey.py:101,142)
+    cfg = LVConfig(model="bspline_kan", iters=200, eval_every=200,
+                   lr=2e-3, init_scale=1.0)
+    out = run(cfg)
+    h = np.asarray(out["loss_history"])
+    assert np.isfinite(h).all() and h[-1] < h[0]
