@@ -55,7 +55,15 @@ class SurrogateConfig:
     substeps: int = 20                 # per snapshot interval
     solve_mode: str = "fixed"          # fixed | shooting
     impl: str = "xla"                  # xla | fused (whole-RK-step kernels)
+    max_iters_per_call: int | None = None
     seed: int = 0
+
+    def resolved_chunk(self) -> int:
+        if self.max_iters_per_call is not None:
+            return self.max_iters_per_call
+        # bound one device execution well under the tunnel watchdog;
+        # schrodinger iterations are ~100x heavier (402-dim, 100 substeps)
+        return 200 if self.problem == "schrodinger" else 5000
 
     def resolved_lr(self) -> float:
         if self.problem == "schrodinger" and self.lr == 1e-2:
@@ -193,7 +201,8 @@ def run(cfg: SurrogateConfig | None = None, params=None) -> dict[str, Any]:
         params = model.init(jax.random.PRNGKey(cfg.seed))
     train_loss, eval_loss, predict = make_fns(cfg, model, data)
     tc = TrainConfig(lr=cfg.resolved_lr(), iters=cfg.iters,
-                     eval_every=cfg.eval_every)
+                     eval_every=cfg.eval_every,
+                     max_iters_per_call=cfg.resolved_chunk())
     out = train(train_loss, params, tc, eval_fn=eval_loss)
     out.update(cfg=cfg, model=model, data=data, predict=predict)
     return out

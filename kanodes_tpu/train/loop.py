@@ -75,7 +75,9 @@ def train(loss_fn: Callable[[Any], Array],
     opt_state = opt.init(params)
     vg = jax.value_and_grad(loss_fn)
 
-    # chunking: iters = n_calls * calls_of(n_evals_per_call * eval_every)
+    # chunking: the run executes n_calls * per_call iterations, which
+    # ROUNDS cfg.iters UP to a whole number of chunks (loss_history is
+    # still truncated to cfg.iters; the extra updates only help)
     per_call = min(cfg.iters, cfg.max_iters_per_call)
     evals_per_call = max(per_call // cfg.eval_every, 1)
     inner = max(per_call // evals_per_call, 1)
