@@ -118,4 +118,15 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    # the TPU tunnel in this environment occasionally drops mid-run;
+    # one retry after a recovery pause salvages those runs
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001
+        import sys
+        import time as _time
+
+        print(f"bench attempt 1 failed ({type(e).__name__}: {e}); "
+              "retrying in 120 s", file=sys.stderr)
+        _time.sleep(120)
+        main()

@@ -235,6 +235,31 @@ def make_step(cfg: PINNConfig, model: KANPINN, geo: G.Geometry,
         return params, opt_state, loss, aux
 
     @jax.jit
+    def block_step(params, opt_state, blocks, pde_ws, lrs):
+        """Run a whole block of epochs in ONE device call: `blocks` is an
+        epoch-batch pytree with a leading epoch axis; lax.scan consumes
+        one epoch per iteration. This amortizes the host<->device
+        round-trip (through this environment's TPU tunnel, per-epoch
+        dispatch costs ~2 s; per-block it is negligible)."""
+
+        def body(carry, xs):
+            params, opt_state = carry
+            b, pde_w, lr = xs
+            (loss, aux), grads = jax.value_and_grad(
+                total_loss, has_aux=True)(
+                params, b["interior"], b["tip_pts"], b["bdata"],
+                b["btargets"], b["sym_a"], b["sym_b"], pde_w)
+            opt_state.hyperparams["learning_rate"] = lr
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (loss, aux["pde"], aux["bc"],
+                                         aux["ratio"])
+
+        (params, opt_state), hist = jax.lax.scan(
+            body, (params, opt_state), (blocks, pde_ws, lrs))
+        return params, opt_state, hist
+
+    @jax.jit
     def eval_losses(params, interior, tip_pts, bdata, btargets,
                     sym_a, sym_b):
         def phi(p):
@@ -248,7 +273,7 @@ def make_step(cfg: PINNConfig, model: KANPINN, geo: G.Geometry,
         lsym = L.symmetry_loss(phi, sym_a, sym_b)
         return lpde, lbc, lg, lsym
 
-    return step, eval_losses, total_loss
+    return step, block_step, eval_losses, total_loss
 
 
 def pde_weight_schedule(cfg: PINNConfig, epoch: int) -> float:
@@ -274,7 +299,7 @@ def train(cfg: PINNConfig | None = None, geo: G.Geometry | None = None,
             optax.adam(learning_rate)))(learning_rate=cfg.learning_rate)
     opt_state = opt.init(params)
 
-    step, eval_losses, _ = make_step(cfg, model, geo, mat, opt)
+    step, block_step, eval_losses, _ = make_step(cfg, model, geo, mat, opt)
     val_batch = sample_epoch_batch(cfg, geo, rng, val=True)
     vb = _to_jax(val_batch)
 
@@ -292,60 +317,70 @@ def train(cfg: PINNConfig | None = None, geo: G.Geometry | None = None,
     history = {"loss": [], "pde": [], "bc": [], "val": [], "ratio": []}
     stale = 0
     n_total = cfg.adam_epochs + cfg.finetune_epochs
+    B = max(cfg.validation_every, 1)
     t0 = time.time()
 
-    for epoch in range(start_epoch, n_total):
-        lr = cfg.learning_rate if epoch < cfg.adam_epochs \
-            else cfg.finetune_lr
-        pde_w_now = pde_weight_schedule(cfg, epoch)
+    epoch = start_epoch
+    while epoch < n_total:
+        nb = min(B, n_total - epoch)
+        epochs = list(range(epoch, epoch + nb))
+        # adaptive picks refresh once per block (params change within the
+        # block are invisible to the sampler — documented deviation)
         adapt = None
         if cfg.n_adaptive > 0:
-            # keep batch shapes static across the curriculum: uniform
-            # filler during pretraining, top-|r| picks once the PDE is on
+            pde_on = pde_weight_schedule(cfg, epochs[0]) > 0
             adapt = (adaptive_residual_points(cfg, geo, mat, model,
                                               params, rng, cfg.n_adaptive)
-                     if pde_w_now > 0 else
+                     if pde_on else
                      G.sample_interior_uniform(geo, rng, cfg.n_adaptive))
-        batch = sample_epoch_batch(cfg, geo, rng, adaptive_pts=adapt)
-        b = _to_jax(batch)
-        pde_w = pde_w_now
-        params, opt_state, loss, aux = step(
-            params, opt_state, b["interior"], b["tip_pts"], b["bdata"],
-            b["btargets"], b["sym_a"], b["sym_b"],
-            jnp.asarray(pde_w, jnp.float32), jnp.asarray(lr, jnp.float32))
-        history["loss"].append(float(loss))
-        history["pde"].append(float(aux["pde"]))
-        history["bc"].append(float(aux["bc"]))
-        history["ratio"].append(float(aux["ratio"]))
+        batches = [sample_epoch_batch(
+            cfg, geo, rng,
+            adaptive_pts=(adapt if adapt is None else
+                          adapt.copy())) for _ in epochs]
+        blocks = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[_to_jax(b) for b in batches])
+        pde_ws = jnp.asarray([pde_weight_schedule(cfg, e) for e in epochs],
+                             jnp.float32)
+        lrs = jnp.asarray([cfg.learning_rate if e < cfg.adam_epochs
+                           else cfg.finetune_lr for e in epochs],
+                          jnp.float32)
+        params, opt_state, hist = block_step(params, opt_state, blocks,
+                                             pde_ws, lrs)
+        losses, pdes, bcs, ratios = (np.asarray(h) for h in hist)
+        history["loss"].extend(losses.tolist())
+        history["pde"].extend(pdes.tolist())
+        history["bc"].extend(bcs.tolist())
+        history["ratio"].extend(ratios.tolist())
+        epoch += nb
+        pde_w = pde_weight_schedule(cfg, epoch - 1)
 
-        if (epoch + 1) % cfg.validation_every == 0 or epoch == n_total - 1:
-            v_lpde, v_lbc, v_lg, v_lsym = eval_losses(
-                params, vb["interior"], vb["tip_pts"], vb["bdata"],
-                vb["btargets"], vb["sym_a"], vb["sym_b"])
-            # physics-aware selection: pde floored at 0.25 (:1754-1766)
-            sel = (max(pde_w, 0.25) * float(v_lpde)
-                   + cfg.lambda_bc * float(v_lbc)
-                   + cfg.lambda_gauge * float(v_lg)
-                   + cfg.lambda_sym * float(v_lsym))
-            history["val"].append((epoch, sel))
-            if sel < best["loss"] - cfg.min_improve:
-                best = {"loss": sel, "params": params, "epoch": epoch}
-                stale = 0
-            else:
-                stale += 1
-            if verbose:
-                print(f"ep {epoch} loss {float(loss):.4g} "
-                      f"pde {float(aux['pde']):.4g} bc {float(aux['bc']):.4g} "
-                      f"val {sel:.4g} ratio {float(aux['ratio']):.3f} "
-                      f"pde_w {pde_w:.2f} "
-                      f"({(epoch + 1) / (time.time() - t0):.1f} ep/s)",
-                      flush=True)
-            if stale >= cfg.early_stop_patience:
-                break
+        v_lpde, v_lbc, v_lg, v_lsym = eval_losses(
+            params, vb["interior"], vb["tip_pts"], vb["bdata"],
+            vb["btargets"], vb["sym_a"], vb["sym_b"])
+        # physics-aware selection: pde floored at 0.25 (:1754-1766)
+        sel = (max(pde_w, 0.25) * float(v_lpde)
+               + cfg.lambda_bc * float(v_lbc)
+               + cfg.lambda_gauge * float(v_lg)
+               + cfg.lambda_sym * float(v_lsym))
+        history["val"].append((epoch - 1, sel))
+        if sel < best["loss"] - cfg.min_improve:
+            best = {"loss": sel, "params": params, "epoch": epoch - 1}
+            stale = 0
+        else:
+            stale += 1
+        if verbose:
+            print(f"ep {epoch - 1} loss {losses[-1]:.4g} "
+                  f"pde {pdes[-1]:.4g} bc {bcs[-1]:.4g} "
+                  f"val {sel:.4g} ratio {ratios[-1]:.3f} "
+                  f"pde_w {pde_w:.2f} "
+                  f"({epoch / (time.time() - t0):.1f} ep/s)",
+                  flush=True)
+        if stale >= cfg.early_stop_patience:
+            break
         if ckptr and cfg.checkpoint_every \
-                and (epoch + 1) % cfg.checkpoint_every == 0:
+                and epoch % max(cfg.checkpoint_every, B) < B:
             from kanodes_tpu.train.checkpoint import TrainState
-            ckptr.save(TrainState(params=params, step=epoch + 1,
+            ckptr.save(TrainState(params=params, step=epoch,
                                   best_params=best["params"],
                                   best_loss=best["loss"]))
 
