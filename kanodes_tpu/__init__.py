@@ -28,7 +28,10 @@ __version__ = "0.1.0"
 from kanodes_tpu.ops import basis as basis
 from kanodes_tpu.models.kdense import KDense, KDense1, KANChain
 from kanodes_tpu.models.mlp import MLP
-from kanodes_tpu.ode.integrate import odeint, odeint_fixed
+from kanodes_tpu.models.bspline import BSplineKAN, BSplineKANChain
+from kanodes_tpu.models.hybrid import DataNormalizer, HybridKANMLP
+from kanodes_tpu.ode.integrate import odeint, odeint_fixed, odeint_adjoint
+from kanodes_tpu.ode.stiff import odeint_implicit
 
 __all__ = [
     "basis",
@@ -36,6 +39,12 @@ __all__ = [
     "KDense1",
     "KANChain",
     "MLP",
+    "BSplineKAN",
+    "BSplineKANChain",
+    "DataNormalizer",
+    "HybridKANMLP",
     "odeint",
     "odeint_fixed",
+    "odeint_adjoint",
+    "odeint_implicit",
 ]
