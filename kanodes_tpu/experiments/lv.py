@@ -24,7 +24,6 @@ bounded-scan solver ("adaptive" mode, reference-faithful).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any
 
 import jax

@@ -17,13 +17,11 @@ matters).
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-from kanodes_tpu.utils.precision import matmul_precision
 
 Array = jax.Array
 

@@ -25,7 +25,6 @@ layers, `LV_driver_KANODE.jl:136-142`) and the rbf VJP `utils.jl:15-21`.
 from __future__ import annotations
 
 import dataclasses
-import math
 from functools import partial
 
 import jax

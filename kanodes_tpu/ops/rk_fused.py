@@ -243,3 +243,168 @@ def fused_odeint(spec: ChainSpec, solver: str, dt: float, n_steps: int,
     if save_every != 1:
         ys = ys[::save_every]
     return ys
+
+
+# ---------------------------------------------------------------------------
+# multi-step fused kernels: N whole RK steps per kernel launch
+# ---------------------------------------------------------------------------
+
+def _multistep_fwd_kernel(spec, tab, dt, needed, n_steps,
+                          x_ref, c1_ref, w1_ref, c2_ref, w2_ref,
+                          g1_ref, g2_ref, e1_ref, e2_ref,
+                          ys_ref):
+    """Advance n_steps whole RK steps inside one kernel, writing every
+    post-step state to ys_ref [n_steps, K, I] (consumed by the backward
+    kernel and by trajectory losses)."""
+    c1, w1, c2, w2 = c1_ref[:], w1_ref[:], c2_ref[:], w2_ref[:]
+    g1, g2, e1, e2 = g1_ref[:], g2_ref[:], e1_ref[:], e2_ref[:]
+
+    def one_step(x):
+        ks = [None] * tab.stages
+        for i in range(tab.stages):
+            if not needed[i]:
+                continue
+            xi = x
+            for j in range(i):
+                if tab.a[i][j] != 0.0 and ks[j] is not None:
+                    xi = xi + (dt * tab.a[i][j]) * ks[j]
+            ks[i], _ = _chain_f(xi, c1, w1, c2, w2, g1, g2, e1, e2,
+                                spec.h, spec.normalizer)
+        y = x
+        for i in range(tab.stages):
+            if tab.b[i] != 0.0:
+                y = y + (dt * tab.b[i]) * ks[i]
+        return y
+
+    def body(s, x):
+        y = one_step(x)
+        ys_ref[s] = y
+        return y
+
+    jax.lax.fori_loop(0, n_steps, body, x_ref[:], unroll=False)
+
+
+def _multistep_bwd_kernel(spec, tab, dt, needed, n_steps,
+                          x0_ref, ys_ref, c1_ref, w1_ref, c2_ref, w2_ref,
+                          g1_ref, g2_ref, e1_ref, e2_ref, s1_ref, s2_ref,
+                          gys_ref,
+                          dx_ref, dc1_ref, dw1_ref, dc2_ref, dw2_ref):
+    """Reverse sweep over the stored states: for each step (backwards),
+    rebuild the stages from the step's INPUT state and run the discrete
+    adjoint, accumulating parameter cotangents and folding in the output
+    cotangent gys[s] of every saved state."""
+    c1, w1, c2, w2 = c1_ref[:], w1_ref[:], c2_ref[:], w2_ref[:]
+    g1, g2, e1, e2 = g1_ref[:], g2_ref[:], e1_ref[:], e2_ref[:]
+    s1, s2 = s1_ref[:], s2_ref[:]
+
+    def step_adjoint(x, xbar):
+        """One-step discrete adjoint at input state x with output
+        cotangent xbar; returns (dx, dc1, dw1, dc2, dw2)."""
+        ks = [None] * tab.stages
+        xs = [None] * tab.stages
+        y1s = [None] * tab.stages
+        for i in range(tab.stages):
+            if not needed[i]:
+                continue
+            xi = x
+            for j in range(i):
+                if tab.a[i][j] != 0.0 and ks[j] is not None:
+                    xi = xi + (dt * tab.a[i][j]) * ks[j]
+            xs[i] = xi
+            ks[i], y1s[i] = _chain_f(xi, c1, w1, c2, w2, g1, g2, e1, e2,
+                                     spec.h, spec.normalizer)
+        dx = xbar
+        kbar = [None] * tab.stages
+        for i in range(tab.stages):
+            if needed[i] and tab.b[i] != 0.0:
+                kbar[i] = (dt * tab.b[i]) * xbar
+        dc1 = jnp.zeros_like(c1)
+        dw1 = jnp.zeros_like(w1)
+        dc2 = jnp.zeros_like(c2)
+        dw2 = jnp.zeros_like(w2)
+        for i in range(tab.stages - 1, -1, -1):
+            if not needed[i] or kbar[i] is None:
+                continue
+            dxi, dc1i, dw1i, dc2i, dw2i = _chain_vjp(
+                xs[i], y1s[i], c1, w1, c2, w2, g1, g2, e1, e2, s1, s2,
+                spec.h, kbar[i], spec.normalizer)
+            dx = dx + dxi
+            dc1 = dc1 + dc1i
+            dw1 = dw1 + dw1i
+            dc2 = dc2 + dc2i
+            dw2 = dw2 + dw2i
+            for j in range(i):
+                if tab.a[i][j] != 0.0 and needed[j]:
+                    contrib = (dt * tab.a[i][j]) * dxi
+                    kbar[j] = contrib if kbar[j] is None \
+                        else kbar[j] + contrib
+        return dx, dc1, dw1, dc2, dw2
+
+    def body(r, carry):
+        xbar, dc1, dw1, dc2, dw2 = carry
+        s = n_steps - 1 - r
+        # input state of step s: ys[s-1] (or x0 for the first step)
+        x_in = jnp.where(s == 0, x0_ref[:], ys_ref[jnp.maximum(s - 1, 0)])
+        xbar = xbar + gys_ref[s]
+        dx, dc1i, dw1i, dc2i, dw2i = step_adjoint(x_in, xbar)
+        return (dx, dc1 + dc1i, dw1 + dw1i, dc2 + dc2i, dw2 + dw2i)
+
+    init = (jnp.zeros_like(x0_ref[:]), jnp.zeros_like(c1),
+            jnp.zeros_like(w1), jnp.zeros_like(c2), jnp.zeros_like(w2))
+    dx, dc1, dw1, dc2, dw2 = jax.lax.fori_loop(0, n_steps, body, init,
+                                               unroll=False)
+    dx_ref[:] = dx
+    dc1_ref[:] = dc1
+    dw1_ref[:] = dw1
+    dc2_ref[:] = dc2
+    dw2_ref[:] = dw2
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 9))
+def fused_rk_multistep(spec: ChainSpec, solver: str, dt: float,
+                       n_steps: int, x0, c1, w1, c2, w2,
+                       interpret: bool | None = None):
+    """n_steps whole RK steps in ONE kernel launch; returns the full
+    post-step state history ys [n_steps, K, I] (x0 NOT included).
+
+    The backward pass is a second single kernel that sweeps the stored
+    states in reverse, accepting cotangents for EVERY saved state — so a
+    trajectory loss over all save points costs exactly two launches."""
+    tab = get_tableau(solver)
+    needed = tuple(_needed_stages(tab))
+    itp = _interpret_default() if interpret is None else interpret
+    g1, g2, e1, e2, _, _ = _consts(spec)
+    return pl.pallas_call(
+        partial(_multistep_fwd_kernel, spec, tab, dt, needed, n_steps),
+        out_shape=jax.ShapeDtypeStruct((n_steps,) + x0.shape, jnp.float32),
+        interpret=itp,
+    )(x0, c1, w1, c2, w2, g1, g2, e1, e2)
+
+
+def _frm_fwd(spec, solver, dt, n_steps, x0, c1, w1, c2, w2, interpret):
+    ys = fused_rk_multistep(spec, solver, dt, n_steps, x0, c1, w1, c2, w2,
+                            interpret)
+    return ys, (x0, ys, c1, w1, c2, w2)
+
+
+def _frm_bwd(spec, solver, dt, n_steps, interpret, res, gys):
+    x0, ys, c1, w1, c2, w2 = res
+    tab = get_tableau(solver)
+    needed = tuple(_needed_stages(tab))
+    itp = _interpret_default() if interpret is None else interpret
+    g1, g2, e1, e2, s1, s2 = _consts(spec)
+    dx, dc1, dw1, dc2, dw2 = pl.pallas_call(
+        partial(_multistep_bwd_kernel, spec, tab, dt, needed, n_steps),
+        out_shape=(
+            jax.ShapeDtypeStruct(x0.shape, jnp.float32),
+            jax.ShapeDtypeStruct(c1.shape, jnp.float32),
+            jax.ShapeDtypeStruct(w1.shape, jnp.float32),
+            jax.ShapeDtypeStruct(c2.shape, jnp.float32),
+            jax.ShapeDtypeStruct(w2.shape, jnp.float32),
+        ),
+        interpret=itp,
+    )(x0, ys, c1, w1, c2, w2, g1, g2, e1, e2, s1, s2, gys)
+    return dx, dc1, dw1, dc2, dw2
+
+
+fused_rk_multistep.defvjp(_frm_fwd, _frm_bwd)

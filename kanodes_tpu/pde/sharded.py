@@ -11,7 +11,6 @@ sequence/context parallelism — the only cross-device traffic is the
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

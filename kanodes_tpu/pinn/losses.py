@@ -20,7 +20,6 @@ retry ladders (XLA's memory plan is static). The FD flavor is kept as
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

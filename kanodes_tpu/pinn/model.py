@@ -22,7 +22,6 @@ import math
 import jax
 import jax.numpy as jnp
 
-from kanodes_tpu.models.core import glorot_uniform
 from kanodes_tpu.utils.precision import matmul_precision
 
 Array = jax.Array

@@ -82,3 +82,45 @@ def test_fsal_stage_pruned():
     from kanodes_tpu.ops.rk_fused import _needed_stages
     needed = _needed_stages(TSIT5)
     assert needed == [True] * 6 + [False]   # 7th (FSAL) stage unused
+
+
+def test_multistep_matches_scanned_steps(setup):
+    from kanodes_tpu.ops.rk_fused import fused_rk_multistep
+    chain, params, spec = setup
+    fp = fused_params(params)
+    x0 = jnp.asarray([[1.0, 1.0], [0.4, 2.0]])
+    dt, n = 0.1, 7
+    ys = fused_rk_multistep(spec, "tsit5", dt, n, x0, *fp, True)
+    assert ys.shape == (n, 2, 2)
+    # reference: scan of single fused steps
+    x = x0
+    for s in range(n):
+        x = fused_rk_step(spec, "tsit5", dt, x, *fp, True)
+        np.testing.assert_allclose(ys[s], x, rtol=1e-5, atol=1e-6)
+
+
+def test_multistep_gradients_match_scan(setup):
+    from kanodes_tpu.ops.rk_fused import fused_rk_multistep
+    chain, params, spec = setup
+    x0 = jnp.asarray([[1.0, 1.0]])
+    dt, n = 0.1, 6
+    tgt = jnp.linspace(0.8, 1.3, n)[:, None, None] * x0
+
+    def loss_multi(params, x0):
+        fp = fused_params(params)
+        ys = fused_rk_multistep(spec, "tsit5", dt, n, x0, *fp, True)
+        return jnp.mean((ys - tgt) ** 2)
+
+    def loss_scan(params, x0):
+        fp = fused_params(params)
+        x, acc = x0, 0.0
+        for s in range(n):
+            x = fused_rk_step(spec, "tsit5", dt, x, *fp, True)
+            acc = acc + jnp.mean((x - tgt[s]) ** 2)
+        return acc / n
+
+    gm = jax.grad(loss_multi, argnums=(0, 1))(params, x0)
+    gs = jax.grad(loss_scan, argnums=(0, 1))(params, x0)
+    for a, b in zip(jax.tree_util.tree_leaves(gm),
+                    jax.tree_util.tree_leaves(gs)):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-6)
