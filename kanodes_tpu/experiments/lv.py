@@ -158,13 +158,15 @@ def make_ode_fns(cfg: LVConfig, model, data):
                           rtol=cfg.rtol, atol=cfg.atol,
                           max_steps=cfg.max_steps, adjoint="direct")
         if use_fused:
-            from kanodes_tpu.ops.kdense_pallas import chain_spec_of, \
-                fused_params
-            from kanodes_tpu.ops.rk_fused import fused_odeint
+            from kanodes_tpu.ops.kdense_pallas import fused_params
+            from kanodes_tpu.ops.rk_fused import fused_rk_multistep
             n_steps = (t_grid.shape[0] - 1) * cfg.substeps
-            ys = fused_odeint(spec, "tsit5", h, n_steps, u0[None],
-                              *fused_params(params),
-                              save_every=cfg.substeps)
+            # whole solve in ONE kernel launch (+1 for its backward)
+            ys = fused_rk_multistep(spec, "tsit5", h, n_steps, u0[None],
+                                    *fused_params(params))
+            ys = jnp.concatenate([u0[None, None], ys], axis=0)
+            if cfg.substeps != 1:
+                ys = ys[::cfg.substeps]
             return ys[:, 0, :]
         return odeint_fixed(rhs, u0, t_grid, params,
                             solver="tsit5", substeps=cfg.substeps)
