@@ -110,12 +110,17 @@ def make_fns(cfg: SurrogateConfig, model: KANChain,
                       for i in range(len(t_np) - 1)]
 
     impl = cfg.impl
-    if impl == "fused" and model.in_dims * model.layers[0].grid_len > 2048:
-        # the fused kernel's O(I^2 G) expansion matrix exceeds VMEM for
-        # wide states (Schrödinger's 402-dim input -> 44 MB scoped);
-        # the XLA path's per-op overhead matters less at these sizes
-        impl = "xla"
-    if impl == "fused":
+    wide = model.in_dims * model.layers[0].grid_len > 2048
+    if impl == "fused" and wide:
+        # the standard fused kernel's O(I^2 G) expansion matrix exceeds
+        # VMEM for wide states (Schrödinger's 402-dim input -> 44 MB);
+        # use the input-blocked wide kernel instead (ops/rk_fused_wide)
+        from kanodes_tpu.ops.rk_fused_wide import wide_chain_adapter
+        _, _advance = wide_chain_adapter(model)
+
+        def fused_advance(params, x, n_steps, dt_total):
+            return _advance(params, x, dt_total / n_steps, n_steps)
+    elif impl == "fused":
         from kanodes_tpu.ops.kdense_pallas import chain_spec_of, \
             fused_params
         from kanodes_tpu.ops.rk_fused import fused_rk_step
