@@ -197,20 +197,48 @@ def _flat_len(tree) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(tree))
 
 
-def _adaptive_step(tab, f, args, rtol, atol, ctrl, ts, state):
-    """One controller iteration: try a step (clipped to the next save time),
-    accept/reject, record saves. `state` is a dict; everything is masked by
-    `state["done"]` so this body is safe to run as a no-op after finishing.
+def _hermite(t0, t1, y0, y1, f0, f1, t_eval):
+    """Cubic Hermite interpolation on [t0, t1] (3rd-order dense output;
+    f0/f1 are the RHS values at the endpoints — free via FSAL)."""
+    h = t1 - t0
+    s = (t_eval - t0) / h
+    h00 = (1 + 2 * s) * (1 - s) ** 2
+    h10 = s * (1 - s) ** 2
+    h01 = s * s * (3 - 2 * s)
+    h11 = s * s * (s - 1)
+    return _tmap(
+        lambda a, b, fa, fb: h00 * a + h10 * h * fa + h01 * b
+        + h11 * h * fb, y0, y1, f0, f1)
+
+
+def _adaptive_step(tab, f, args, rtol, atol, ctrl, ts, state,
+                   dense: bool = False):
+    """One controller iteration. `state` is a dict; everything is masked
+    by `state["done"]` so this body is safe to run as a no-op after
+    finishing.
+
+    dense=False: clip steps so accepted steps land exactly on save times
+    (exact save values; reverse-differentiable).
+    dense=True: take natural controller steps and fill save points inside
+    each accepted step by cubic Hermite interpolation (fewer steps; used
+    by the non-differentiated forward passes).
     """
     t, y, dt, k1 = state["t"], state["y"], state["dt"], state["k1"]
     save_idx, ys = state["save_idx"], state["ys"]
     done = state["done"]
     tdir = state["tdir"]
+    T = ts.shape[0]
 
-    t_save = ts[jnp.minimum(save_idx, ts.shape[0] - 1)]
+    t_save = ts[jnp.minimum(save_idx, T - 1)]
     remaining = (t_save - t) * tdir                    # > 0 while not done
-    hit = dt >= remaining
-    dt_used = jnp.where(hit, remaining, dt)
+    if dense:
+        # never step beyond the final save time
+        t_end = ts[T - 1]
+        dt_used = jnp.minimum(dt, (t_end - t) * tdir)
+        hit = dt >= remaining      # unused for stepping; kept for parity
+    else:
+        hit = dt >= remaining
+        dt_used = jnp.where(hit, remaining, dt)
 
     y1, err, k_last = rk_step(tab, f, t, y, tdir * dt_used, args, k1=k1)
     err_nrm = lax.stop_gradient(error_norm(err, y, y1, rtol, atol))
@@ -219,19 +247,46 @@ def _adaptive_step(tab, f, args, rtol, atol, ctrl, ts, state):
     dt_next = jnp.maximum(dt_used * fac, ctrl.dt_min)
 
     step_ok = accept & ~done
-    t_new = jnp.where(step_ok, jnp.where(hit, t_save, t + tdir * dt_used), t)
+    t1_ = t + tdir * dt_used
+    if dense:
+        t_new = jnp.where(step_ok, t1_, t)
+    else:
+        t_new = jnp.where(step_ok, jnp.where(hit, t_save, t1_), t)
     y_new = _where_tree(step_ok, y1, y)
     k1_new = _where_tree(step_ok, k_last, k1)
-    saved = step_ok & hit
 
-    def _record(buf, val):
-        # out-of-range save_idx (after done) clamps and rewrites the old value
-        old = lax.dynamic_index_in_dim(buf, save_idx, 0, keepdims=False)
-        return lax.dynamic_update_index_in_dim(
-            buf, jnp.where(saved, val, old), save_idx, 0)
+    if dense:
+        # fill every save time inside (t, t1] by Hermite interpolation
+        def fill_cond(c):
+            si, _ = c
+            inside = (ts[jnp.minimum(si, T - 1)] - t1_) * tdir <= 1e-6
+            return step_ok & (si < T) & inside
 
-    ys_new = _tmap(_record, ys, y1)
-    save_idx_new = save_idx + saved.astype(save_idx.dtype)
+        def fill_body(c):
+            si, buf = c
+            te = ts[jnp.minimum(si, T - 1)]
+            val = _hermite(t, t1_, y, y1, k1, k_last, te)
+
+            def rec(b, v):
+                return lax.dynamic_update_index_in_dim(b, v, si, 0)
+
+            return si + 1, _tmap(rec, buf, val)
+
+        save_idx_new, ys_new = lax.while_loop(fill_cond, fill_body,
+                                              (save_idx, ys))
+        saved = save_idx_new > save_idx
+    else:
+        saved = step_ok & hit
+
+        def _record(buf, val):
+            # out-of-range save_idx (after done) clamps + rewrites old
+            old = lax.dynamic_index_in_dim(buf, save_idx, 0,
+                                           keepdims=False)
+            return lax.dynamic_update_index_in_dim(
+                buf, jnp.where(saved, val, old), save_idx, 0)
+
+        ys_new = _tmap(_record, ys, y1)
+        save_idx_new = save_idx + saved.astype(save_idx.dtype)
     done_new = done | (save_idx_new >= ts.shape[0])
 
     return {
@@ -265,14 +320,16 @@ def _init_state(tab, f, y0, ts, args, rtol, atol, dt0):
     }
 
 
-def _adaptive_while(tab, f, y0, ts, args, rtol, atol, dt0, max_steps, ctrl):
+def _adaptive_while(tab, f, y0, ts, args, rtol, atol, dt0, max_steps, ctrl,
+                    dense: bool = False):
     state = _init_state(tab, f, y0, ts, args, rtol, atol, dt0)
 
     def cond(s):
         return (~s["done"]) & (s["n_iter"] < max_steps)
 
     def body(s):
-        return _adaptive_step(tab, f, args, rtol, atol, ctrl, ts, s)
+        return _adaptive_step(tab, f, args, rtol, atol, ctrl, ts, s,
+                              dense=dense)
 
     return lax.while_loop(cond, body, state)
 
@@ -301,7 +358,8 @@ def odeint(f: Callable, y0, ts: Array, args=None, *,
            dt0: float | None = None, max_steps: int = 4096,
            adjoint: str = "backsolve",
            controller: StepController = StepController(),
-           return_stats: bool = False):
+           return_stats: bool = False,
+           dense: bool = False):
     """Adaptive ODE solve at save times `ts` (torchdiffeq-compatible shape).
 
     adjoint:
@@ -321,17 +379,20 @@ def odeint(f: Callable, y0, ts: Array, args=None, *,
                          "(tsit5/dopri5/bs3)")
     ts = jnp.asarray(ts)
 
+    if dense and adjoint == "direct":
+        raise ValueError("dense output is not reverse-differentiable; "
+                         "use adjoint='none' or 'backsolve'")
     if adjoint == "none":
         st = _adaptive_while(tab, f, y0, ts, args, rtol, atol, dt0,
-                             max_steps, controller)
+                             max_steps, controller, dense=dense)
     elif adjoint == "direct":
         st = _adaptive_scan(tab, f, y0, ts, args, rtol, atol, dt0,
                             max_steps, controller)
     elif adjoint == "backsolve":
         if return_stats:
             raise ValueError("return_stats unsupported with backsolve")
-        return _odeint_backsolve(f, tab, rtol, atol, max_steps, controller,
-                                 y0, ts, args)
+        return _odeint_backsolve(f, tab, rtol, atol, max_steps,
+                                 (controller, dense), y0, ts, args)
     else:
         raise ValueError(f"unknown adjoint {adjoint!r}")
 
@@ -353,18 +414,24 @@ def odeint_adjoint(f, y0, ts, args=None, **kw):
 # ---------------------------------------------------------------------------
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
-def _odeint_backsolve(f, tab, rtol, atol, max_steps, ctrl, y0, ts, args):
+def _odeint_backsolve(f, tab, rtol, atol, max_steps, ctrl_dense, y0, ts,
+                      args):
+    ctrl, dense = ctrl_dense if isinstance(ctrl_dense, tuple) \
+        else (ctrl_dense, False)
     st = _adaptive_while(tab, f, y0, ts, args, rtol, atol, None,
-                         max_steps, ctrl)
+                         max_steps, ctrl, dense=dense)
     return st["ys"]
 
 
-def _backsolve_fwd(f, tab, rtol, atol, max_steps, ctrl, y0, ts, args):
-    ys = _odeint_backsolve(f, tab, rtol, atol, max_steps, ctrl, y0, ts, args)
+def _backsolve_fwd(f, tab, rtol, atol, max_steps, ctrl_dense, y0, ts,
+                   args):
+    ys = _odeint_backsolve(f, tab, rtol, atol, max_steps, ctrl_dense, y0,
+                           ts, args)
     return ys, (ys, ts, args)
 
 
-def _backsolve_bwd(f, tab, rtol, atol, max_steps, ctrl, res, ys_bar):
+def _backsolve_bwd(f, tab, rtol, atol, max_steps, ctrl_dense, res, ys_bar):
+    ctrl = ctrl_dense[0] if isinstance(ctrl_dense, tuple) else ctrl_dense
     ys, ts, args = res
     T = ts.shape[0]
 

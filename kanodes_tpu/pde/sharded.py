@@ -70,3 +70,21 @@ def sharded_graybox_rhs(mesh: Mesh, dx: float, diffusivity: float,
         return fn(u, params)
 
     return rhs
+
+
+def sharded_laplacian_dirichlet(mesh: Mesh, dx: float, axis: str = "sp",
+                                left: float = 0.0, right: float = 0.0):
+    """Dirichlet-ghost centered Laplacian on a grid sharded along `axis`:
+    interior shards exchange halos; the first/last shard substitute the
+    boundary values."""
+
+    def local(u_local: Array) -> Array:
+        n = lax.psum(1, axis)
+        idx = lax.axis_index(axis)
+        lg, rg = halo_exchange(u_local, axis)
+        lg = jnp.where(idx == 0, jnp.full_like(lg, left), lg)
+        rg = jnp.where(idx == n - 1, jnp.full_like(rg, right), rg)
+        up = jnp.concatenate([lg, u_local, rg])
+        return (up[2:] - 2.0 * up[1:-1] + up[:-2]) / (dx * dx)
+
+    return shard_map(local, mesh=mesh, in_specs=P(axis), out_specs=P(axis))

@@ -190,3 +190,40 @@ def test_odeint_jits():
     f = jax.jit(lambda y0: odeint(lv_rhs, y0, ts, LV_ARGS, adjoint="none"))
     ys = f(LV_Y0)
     assert ys.shape == (5, 2)
+
+
+def test_dense_output_accuracy():
+    """Hermite dense output matches clipped-step saves within its
+    3rd-order interpolation error."""
+    ts = jnp.linspace(0.0, 3.5, 36)
+    ys_clip = odeint(lv_rhs, LV_Y0, ts, LV_ARGS, rtol=1e-7, atol=1e-9,
+                     adjoint="none")
+    ys_dense, stats = odeint(lv_rhs, LV_Y0, ts, LV_ARGS, rtol=1e-7,
+                             atol=1e-9, adjoint="none", dense=True,
+                             return_stats=True)
+    np.testing.assert_allclose(ys_dense, ys_clip, rtol=5e-4, atol=5e-4)
+    # dense output must not take MORE steps than the clipped variant
+    _, stats_clip = odeint(lv_rhs, LV_Y0, ts, LV_ARGS, rtol=1e-7,
+                           atol=1e-9, adjoint="none", return_stats=True)
+    assert int(stats.n_iter) <= int(stats_clip.n_iter)
+
+
+def test_dense_output_backsolve_gradients():
+    ts = jnp.linspace(0.0, 1.5, 6)
+    target = odeint_fixed(lv_rhs, LV_Y0, ts, LV_ARGS, solver="rk4",
+                          substeps=100)
+
+    def loss(args, dense):
+        ys = odeint(lv_rhs, LV_Y0, ts, args, rtol=1e-7, atol=1e-9,
+                    adjoint="backsolve", dense=dense)
+        return jnp.mean((ys - target) ** 2)
+
+    g_d = jax.grad(lambda a: loss(a, True))(jnp.asarray([1.4, 1.1, 0.9, 2.8]))
+    g_c = jax.grad(lambda a: loss(a, False))(jnp.asarray([1.4, 1.1, 0.9, 2.8]))
+    np.testing.assert_allclose(g_d, g_c, rtol=5e-3, atol=1e-5)
+
+
+def test_dense_direct_rejected():
+    ts = jnp.linspace(0.0, 1.0, 4)
+    with pytest.raises(ValueError, match="dense"):
+        odeint(lv_rhs, LV_Y0, ts, LV_ARGS, adjoint="direct", dense=True)

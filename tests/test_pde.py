@@ -136,3 +136,16 @@ def test_ensemble_train_step():
         params, opt_state, losses = step(params, opt_state)
     assert losses.shape == (B,)
     np.testing.assert_allclose(params["w"][:, 0], target, atol=0.05)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_dirichlet_laplacian_matches_local():
+    from kanodes_tpu.pde.sharded import sharded_laplacian_dirichlet
+    mesh = _mesh_sp()
+    n, dx = 64, 0.05
+    u = jnp.asarray(np.random.default_rng(3).normal(size=n), jnp.float32)
+    lap_sh = sharded_laplacian_dirichlet(mesh, dx, left=0.25, right=-0.5)
+    got = lap_sh(u)
+    up = jnp.concatenate([jnp.asarray([0.25]), u, jnp.asarray([-0.5])])
+    want = (up[2:] - 2 * up[1:-1] + up[:-2]) / dx ** 2
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
