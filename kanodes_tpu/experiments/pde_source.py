@@ -41,6 +41,7 @@ class SourceConfig:
     eval_every: int = 500
     substeps: int | None = None        # None -> per-problem default
     max_iters_per_call: int | None = None
+    impl: str = "xla"                  # xla | fused (whole-RK-step kernel)
     seed: int = 0
 
     def resolved_substeps(self) -> int:
@@ -88,9 +89,19 @@ def make_fns(cfg: SourceConfig, model: KDense, data: datagen.PDEData):
         learned = model.apply(params, u[:, None])[:, 0]
         return known + learned
 
-    def predict(params):
-        return odeint_fixed(rhs, u0, ts, params, solver="tsit5",
-                            substeps=cfg.resolved_substeps())
+    if cfg.impl == "fused":
+        from kanodes_tpu.ops.graybox_fused import graybox_kernel_adapter
+        _, _advance = graybox_kernel_adapter(model, lap, float(D))
+        sub = cfg.resolved_substeps()
+        dt_save = float(data.ts[1] - data.ts[0])
+
+        def predict(params):
+            n_steps = (ts.shape[0] - 1) * sub
+            return _advance(params, u0, dt_save / sub, n_steps)[::sub]
+    else:
+        def predict(params):
+            return odeint_fixed(rhs, u0, ts, params, solver="tsit5",
+                                substeps=cfg.resolved_substeps())
 
     def loss_fn(params):
         return jnp.mean((predict(params) - X) ** 2)

@@ -1,0 +1,70 @@
+"""Gray-box fused RK kernel vs the XLA gray-box RHS."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kanodes_tpu.models import KDense
+from kanodes_tpu.ode import odeint_fixed
+from kanodes_tpu.ops.graybox_fused import (GrayboxSpec,
+                                           fused_graybox_rk_step,
+                                           graybox_kernel_adapter)
+from kanodes_tpu.pde import datagen
+from kanodes_tpu.utils.precision import matmul_precision
+
+
+@pytest.fixture
+def setup():
+    layer = KDense(1, 1, 10, normalizer="softsign")
+    params = layer.init(jax.random.PRNGKey(0))
+    n, dx, D = 26, 0.04, 0.01
+    lap = jnp.asarray(datagen._cyclic_lap(n, dx), jnp.float32)
+    return layer, params, lap, D, n
+
+
+def _xla_rhs(layer, lap, D):
+    def rhs(t, u, p):
+        known = D * jnp.matmul(lap, u, precision=matmul_precision())
+        return known + layer.apply(p, u[:, None])[:, 0]
+    return rhs
+
+
+def test_forward_matches_xla(setup):
+    layer, params, lap, D, n = setup
+    spec, advance = graybox_kernel_adapter(layer, lap, D)
+    u0 = jnp.asarray(0.4 + 0.3 * np.sin(np.arange(n)), jnp.float32)
+    ys = advance(params, u0, 0.05, 3)
+    assert ys.shape == (4, n)
+    rhs = _xla_rhs(layer, lap, D)
+    ts = jnp.asarray([0.0, 0.05, 0.1, 0.15])
+    want = odeint_fixed(rhs, u0, ts, params, solver="tsit5")
+    np.testing.assert_allclose(ys, want, rtol=2e-4, atol=1e-5)
+
+
+def test_gradients_match_xla(setup):
+    layer, params, lap, D, n = setup
+    spec, advance = graybox_kernel_adapter(layer, lap, D)
+    u0 = jnp.asarray(0.5 + 0.2 * np.cos(np.arange(n)), jnp.float32)
+    tgt = u0 * 1.02
+
+    def loss_fused(p):
+        return jnp.mean((advance(p, u0, 0.05, 2)[-1] - tgt) ** 2)
+
+    rhs = _xla_rhs(layer, lap, D)
+
+    def loss_xla(p):
+        ts = jnp.asarray([0.0, 0.1])
+        return jnp.mean((odeint_fixed(rhs, u0, ts, p, solver="tsit5",
+                                      substeps=2)[-1] - tgt) ** 2)
+
+    gf = jax.grad(loss_fused)(params)
+    gx = jax.grad(loss_xla)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gx)):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-6)
+
+
+def test_rejects_non_pointwise_layer():
+    with pytest.raises(ValueError):
+        GrayboxSpec.of_layer(KDense(2, 1, 5))
