@@ -59,6 +59,11 @@ class KDense:
     basis: str = "rbf"
     base_act: str = "swish"
     use_base_act: bool = True
+    # adaptive-basis extension (beyond reference parity; cf. the
+    # adaptive-RBF-KAN literature): learn per-layer center offsets and a
+    # log-bandwidth. XLA path only (the fused kernels assume a static
+    # grid).
+    trainable_grid: bool = False
     dtype: str = "float32"
 
     # -- static helpers ----------------------------------------------------
@@ -95,21 +100,28 @@ class KDense:
             p["W"] = glorot_uniform(
                 kw, (self.in_dims, self.out_dims),
                 fan_in=self.in_dims, fan_out=self.out_dims, dtype=dt)
+        if self.trainable_grid:
+            p["grid_offset"] = jnp.zeros((self.grid_len,), dtype=dt)
+            p["log_h"] = jnp.asarray(jnp.log(self.h), dtype=dt)
         return p
 
     # -- forward -------------------------------------------------------------
 
-    def basis_values(self, x: Array) -> Array:
+    def basis_values(self, x: Array, params: dict | None = None) -> Array:
         """[..., I] -> [..., I, G] basis tensor on the normalized input."""
         xn = B.get_normalizer(self.normalizer)(x)
-        return B.get_basis(self.basis)(xn, self.grid(), self.h)
+        grid, h = self.grid(), self.h
+        if self.trainable_grid and params is not None:
+            grid = grid + params["grid_offset"]
+            h = jnp.exp(params["log_h"])
+        return B.get_basis(self.basis)(xn, grid, h)
 
     def apply(self, params: dict, x: Array, *, impl: str = "xla") -> Array:
         """Forward pass [..., I] -> [..., O]  (kdense.jl:109-130)."""
         if impl == "pallas":
             from kanodes_tpu.ops.kdense_pallas import kdense_pallas
             return kdense_pallas(self, params, x)
-        bas = self.basis_values(x)                       # [..., I, G]
+        bas = self.basis_values(x, params)               # [..., I, G]
         flat = bas.reshape(*bas.shape[:-2], self.in_dims * self.grid_len)
         C2 = params["C"].reshape(self.in_dims * self.grid_len, self.out_dims)
         y = jnp.matmul(flat, C2, preferred_element_type=flat.dtype,
@@ -133,7 +145,7 @@ class KDense:
         equals `apply` (the reference recomputes this in
         `Activation_getter.jl:3-63` for pruning and plotting).
         """
-        bas = self.basis_values(x)                       # [..., I, G]
+        bas = self.basis_values(x, params)               # [..., I, G]
         spline = jnp.einsum("...ig,igo->...io", bas, params["C"],
                             precision=matmul_precision())
         if self.use_base_act:

@@ -148,7 +148,7 @@ def _gb_bwd_kernel(spec, tab, dt, D, needed,
         if needed[i] and tab.b[i] != 0.0:
             kbar[i] = (dt * tab.b[i]) * gy
     dc = jnp.zeros((1, spec.G), jnp.float32)
-    dw = jnp.zeros((), jnp.float32)
+    dw = jnp.zeros((), jnp.float32)  # scalar accumulator (reshaped at store)
     for i in range(tab.stages - 1, -1, -1):
         if not needed[i] or kbar[i] is None:
             continue
@@ -163,7 +163,7 @@ def _gb_bwd_kernel(spec, tab, dt, D, needed,
 
     du_ref[:] = ubar
     dc_ref[:] = dc
-    dw_ref[0, 0] = dw
+    dw_ref[:] = dw.reshape(1, 1)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 8))

@@ -103,3 +103,23 @@ def test_jit_and_no_recompile_across_params():
     p2 = jax.tree_util.tree_map(lambda a: a * 2, p)
     y2 = f(p2, x)
     assert y1.shape == y2.shape == (3, 10)
+
+
+def test_trainable_grid_variant():
+    """Adaptive-basis extension: center offsets + log-bandwidth train."""
+    l = KDense(2, 4, 5, trainable_grid=True)
+    p = l.init(jax.random.PRNGKey(11))
+    assert "grid_offset" in p and "log_h" in p
+    x = jax.random.normal(jax.random.PRNGKey(12), (6, 2))
+
+    def loss(p):
+        return jnp.sum(l.apply(p, x) ** 2)
+
+    g = jax.grad(loss)(p)
+    assert float(jnp.abs(g["grid_offset"]).max()) > 0
+    assert float(jnp.abs(g["log_h"])) > 0
+    # offsets zero at init -> identical to the static-grid layer
+    l0 = KDense(2, 4, 5)
+    p0 = {k: v for k, v in p.items() if k in ("C", "W")}
+    np.testing.assert_allclose(l.apply(p, x), l0.apply(p0, x),
+                               rtol=1e-6, atol=1e-7)
