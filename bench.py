@@ -65,37 +65,54 @@ def main() -> None:
 
         return tr, opt
 
-    CHUNK = 1000
     tr_s1, opt_s1 = make_train(
         LVConfig(solve_mode="shooting", segment_len=1, lr=3e-3,
-                 impl="fused"), 5 * CHUNK)
-    tr_s4, opt_s4 = make_train(
-        LVConfig(solve_mode="shooting", segment_len=4, lr=1e-3,
-                 impl="fused"), CHUNK)
+                 impl="fused"), 5000)
+
+    # phase B: a device-side while_loop that trains (L=4 shooting) and
+    # STOPS the moment the reference-protocol trajectory loss crosses
+    # the target — zero host round-trips inside the timed region
+    cfgB = LVConfig(solve_mode="shooting", segment_len=4, lr=1e-3,
+                    impl="fused")
+    lossB_fn, _, _ = make_ode_fns(cfgB, model, data)
+    opt_s4 = optax.adam(1e-3)
+    vgB = jax.value_and_grad(lossB_fn)
+    MAX_B = 30_000
+
+    @jax.jit
+    def train_to_target(params, opt_state):
+        def cond(c):
+            i, _, _, cur = c
+            return (cur > REFERENCE_LOSS) & (i < MAX_B)
+
+        def body(c):
+            i, p, s, _ = c
+            _, g = vgB(p)
+            u, s = opt_s4.update(g, s, p)
+            p = optax.apply_updates(p, u)
+            return i + 1, p, s, traj_loss_fn(p)
+
+        i0 = jnp.asarray(0, jnp.int32)
+        return lax.while_loop(cond, body,
+                              (i0, params, opt_state, jnp.asarray(1.0)))
 
     # compile (excluded from the timing; persistent-cached across runs)
     p = params0
     s1 = opt_s1.init(p)
-    s4 = opt_s4.init(p)
     jax.block_until_ready(tr_s1(p, s1)[2])
-    jax.block_until_ready(tr_s4(p, s4)[2])
+    jax.block_until_ready(train_to_target(p, opt_s4.init(p))[3])
     jax.block_until_ready(traj_loss(p))
 
-    # timed: phase A (one 5k-iter shooting call) then phase B (L=4,
-    # 1k-iter chunks) until the reference loss falls; the metric rides
-    # along in each chunk's device call
     t0 = time.time()
     p, s1, ls, cur = tr_s1(p, s1)
-    reached = None
-    s4 = opt_s4.init(p)
-    s4.hyperparams["learning_rate"] = jnp.asarray(1e-3)
-    for chunk in range(30):
-        p, s4, ls, cur = tr_s4(p, s4)
-        if float(cur) <= REFERENCE_LOSS:
-            reached = time.time() - t0
-            break
-    elapsed = time.time() - t0
+    n_b, p, _, cur = train_to_target(p, opt_s4.init(p))
     final_loss = float(cur)
+    elapsed = time.time() - t0
+    reached = elapsed if final_loss <= REFERENCE_LOSS else None
+    import sys
+    print(f"[bench] phase-A traj loss {float(ls[-1]):.3e} (shooting), "
+          f"phase-B iters {int(n_b)}, final traj-train {final_loss:.3e}",
+          file=sys.stderr)
 
     if reached is None:
         # did not reach target: report elapsed with vs_baseline scaled by
