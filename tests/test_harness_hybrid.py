@@ -99,3 +99,11 @@ def test_compare_models(lv_setup):
     ts, X = np.asarray(data["ts"])[:36], np.asarray(data["X"])[:36]
     rep = compare_models({"kan": (model, params)}, ts, X)
     assert "kan" in rep and "robustness" in rep["kan"]
+
+
+def test_ensemble_seeds_cpu():
+    from kanodes_tpu.experiments.sweep import ensemble_seeds
+    res = ensemble_seeds(n=4, iters=80)
+    assert res["final_losses"].shape == (4,)
+    assert np.isfinite(res["final_losses"]).all()
+    assert np.isfinite(res["test_losses"]).all()
