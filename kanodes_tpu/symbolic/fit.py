@@ -96,7 +96,9 @@ def compact_fit(x: np.ndarray, y: np.ndarray, *,
                            parsimony=pars, seed=seed + 977 * j, **kw)
         cands.append(f)
     best_mse = min(f.mse for f in cands)
-    tol = max(2.0 * best_mse, 1e-4 * var)
+    # tolerance band: the target y comes from a LEARNED model, so its own
+    # approximation error floors how much of the residual is physics
+    tol = max(3.0 * best_mse, 3e-4 * var)
     ok = [f for f in cands if f.mse <= tol]
     return min(ok, key=lambda f: f.size)
 
