@@ -133,7 +133,7 @@ def make_ode_fns(cfg: LVConfig, model, data):
     use_fused = cfg.impl == "fused" and cfg.model == "kan"
     if use_fused:
         from kanodes_tpu.ops.kdense_pallas import chain_spec_of, fused_params
-        from kanodes_tpu.ops.rk_fused import fused_rk_step, fused_odeint
+        from kanodes_tpu.ops.rk_fused import fused_rk_step
         spec = chain_spec_of(model)
         h = cfg.dt / cfg.substeps
 

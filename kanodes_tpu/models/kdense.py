@@ -22,7 +22,6 @@ TPU-first differences from the reference:
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from kanodes_tpu.models import KDense, KANChain
+from kanodes_tpu.models import KANChain
 from kanodes_tpu.sparsify.activations import activation_magnitudes
 
 Array = jax.Array

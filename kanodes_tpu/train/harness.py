@@ -11,7 +11,7 @@ its 10-step `main` (:719-982).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import jax.numpy as jnp
