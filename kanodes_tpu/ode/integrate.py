@@ -334,12 +334,19 @@ def _adaptive_while(tab, f, y0, ts, args, rtol, atol, dt0, max_steps, ctrl,
     return lax.while_loop(cond, body, state)
 
 
-def _adaptive_scan(tab, f, y0, ts, args, rtol, atol, dt0, max_steps, ctrl):
+def _adaptive_scan(tab, f, y0, ts, args, rtol, atol, dt0, max_steps, ctrl,
+                   remat: bool = False):
     state = _init_state(tab, f, y0, ts, args, rtol, atol, dt0)
 
     def body(s, _):
         return _adaptive_step(tab, f, args, rtol, atol, ctrl, ts, s), None
 
+    if remat:
+        # checkpointed direct adjoint: recompute each controller step's
+        # stages in the backward pass instead of storing them — the
+        # activation-memory middle ground between "direct" (stores all
+        # stages) and "backsolve" (re-simulates the trajectory)
+        body = jax.checkpoint(body)
     state, _ = lax.scan(body, state, None, length=max_steps)
     return state
 
@@ -364,6 +371,8 @@ def odeint(f: Callable, y0, ts: Array, args=None, *,
 
     adjoint:
       "direct"    exact reverse AD through the (bounded-scan) adaptive loop;
+      "direct_remat"  same gradients, O(1) stage-activation memory
+                  (each controller step recomputed in the backward pass);
       "backsolve" continuous adjoint custom_vjp (O(1) memory);
       "none"      while_loop, fastest, not differentiable.
 
@@ -385,9 +394,22 @@ def odeint(f: Callable, y0, ts: Array, args=None, *,
     if adjoint == "none":
         st = _adaptive_while(tab, f, y0, ts, args, rtol, atol, dt0,
                              max_steps, controller, dense=dense)
-    elif adjoint == "direct":
+    elif adjoint in ("direct", "direct_remat"):
         st = _adaptive_scan(tab, f, y0, ts, args, rtol, atol, dt0,
-                            max_steps, controller)
+                            max_steps, controller,
+                            remat=(adjoint == "direct_remat"))
+    if adjoint in ("none", "direct", "direct_remat"):
+        # if max_steps ran out before reaching every save time, fill the
+        # remaining slots with the last integrated state instead of
+        # leaving zeros (zeros silently poison losses/gradients); check
+        # `return_stats` -> stats.success to detect truncation
+        T = ts.shape[0]
+        unreached = jnp.arange(T) >= st["save_idx"]
+        st["ys"] = _tmap(
+            lambda buf, yf: jnp.where(
+                unreached.reshape((T,) + (1,) * (buf.ndim - 1)),
+                yf[None], buf),
+            st["ys"], st["y"])
     elif adjoint == "backsolve":
         if return_stats:
             raise ValueError("return_stats unsupported with backsolve")

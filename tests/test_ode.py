@@ -227,3 +227,32 @@ def test_dense_direct_rejected():
     ts = jnp.linspace(0.0, 1.0, 4)
     with pytest.raises(ValueError, match="dense"):
         odeint(lv_rhs, LV_Y0, ts, LV_ARGS, adjoint="direct", dense=True)
+
+
+def test_direct_remat_gradients_match_direct():
+    args = jnp.asarray([1.4, 1.1, 0.9, 2.8])
+    ts = jnp.linspace(0.0, 1.5, 6)
+    target = odeint_fixed(lv_rhs, LV_Y0, ts, LV_ARGS, solver="rk4",
+                          substeps=100)
+
+    def loss(adjoint):
+        def f(a):
+            ys = odeint(lv_rhs, LV_Y0, ts, a, rtol=1e-7, atol=1e-9,
+                        max_steps=512, adjoint=adjoint)
+            return jnp.mean((ys - target) ** 2)
+        return f
+
+    g_d = jax.grad(loss("direct"))(args)
+    g_r = jax.grad(loss("direct_remat"))(args)
+    np.testing.assert_allclose(g_r, g_d, rtol=1e-5, atol=1e-8)
+
+
+def test_truncated_adaptive_fills_with_last_state():
+    """Exhausting max_steps must not leave zero rows in ys."""
+    ts = jnp.linspace(0.0, 3.5, 36)
+    ys, stats = odeint(lv_rhs, LV_Y0, ts, LV_ARGS, rtol=1e-8, atol=1e-10,
+                       max_steps=10, adjoint="none", return_stats=True)
+    assert not bool(stats.success)
+    # no all-zero rows; trailing rows equal the last integrated state
+    assert float(jnp.abs(ys).min(axis=1).max()) > 0
+    np.testing.assert_allclose(ys[-1], ys[-2], rtol=1e-6)
