@@ -151,8 +151,13 @@ def recover_source(out: dict, generations: int = 250,
 if __name__ == "__main__":
     import time
 
-    for problem in ("fisher_kpp", "allen_cahn"):
-        cfg = SourceConfig(problem=problem)
+    # CLI defaults = the reference's full training budgets
+    # (Fisher-KPP_Source.jl:170 2e4 iters; Allen-Cahn_Source.jl:164 5e4)
+    # on the fused gray-box kernel: ~84 s + ~41 s on a v5e chip
+    budgets = {"fisher_kpp": 20_000, "allen_cahn": 50_000}
+    for problem, iters in budgets.items():
+        cfg = SourceConfig(problem=problem, iters=iters,
+                           eval_every=5000, impl="fused")
         t0 = time.time()
         out = run(cfg)
         jax.block_until_ready(out["loss_history"])
