@@ -49,11 +49,6 @@ def _needed_stages(tab: Tableau) -> list[bool]:
     for i in range(s):
         if tab.b[i] != 0.0:
             needed[i] = True
-    for i in range(s):
-        for j in range(i):
-            if tab.a[i][j] != 0.0 and needed[i]:
-                # stage j feeds a needed stage i -> propagate backwards
-                pass
     # propagate: a stage is needed if any needed stage consumes it
     changed = True
     while changed:

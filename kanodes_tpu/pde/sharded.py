@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+shard_map = jax.shard_map
 
 Array = jax.Array
 
