@@ -81,6 +81,12 @@ class LVConfig:
     # whole-RK-step kernels (fastest; fixed/shooting modes only)
     impl: str = "xla"
     seed: int = 0
+    # upper bound on iterations per device execution (tunnel safety;
+    # lower it for slow per-iter modes like adaptive)
+    max_iters_per_call: int = 10_000
+    # record a bounded parameter-history ring (one snapshot per eval
+    # point) for post-hoc model selection, reference p_list parity
+    record_history: bool = False
 
 
 def make_data(cfg: LVConfig):
@@ -244,13 +250,23 @@ def run(cfg: LVConfig | None = None, params=None, *,
     data = make_data(cfg)
     model = make_model(cfg)
 
+    # restart parity with LV_driver_KANODE.jl:146-160: reload params AND
+    # the loss/test histories so the continued run extends them
     ckptr = None
+    prev_loss = np.zeros((0,), np.float32)
+    prev_eval = np.zeros((0,), np.float32)
+    prev_step = 0
     if checkpoint_dir is not None:
         from kanodes_tpu.train.checkpoint import Checkpointer, TrainState
         ckptr = Checkpointer(checkpoint_dir)
         if restart and ckptr.latest_step() is not None:
             st = ckptr.restore()
             params = jax.tree_util.tree_map(jnp.asarray, st["params"])
+            prev_step = int(st.get("step", 0))
+            if st.get("loss_history") is not None:
+                prev_loss = np.asarray(st["loss_history"], np.float32)
+            if st.get("eval_history") is not None:
+                prev_eval = np.asarray(st["eval_history"], np.float32)
 
     if params is None:
         params = init_params(cfg, model)
@@ -265,19 +281,31 @@ def run(cfg: LVConfig | None = None, params=None, *,
                                   layer_width=model.layers[0].out_dims)
 
     loss_fn, eval_fn, predict = make_ode_fns(cfg, model, data)
-    tc = TrainConfig(lr=cfg.lr, iters=cfg.iters, eval_every=cfg.eval_every)
-    out = train(loss_fn, params, tc, eval_fn=eval_fn)
-    out.update(cfg=cfg, model=model, data=data, predict=predict)
+    tc = TrainConfig(lr=cfg.lr, iters=cfg.iters, eval_every=cfg.eval_every,
+                     max_iters_per_call=cfg.max_iters_per_call)
 
+    on_chunk = None
     if ckptr is not None:
         from kanodes_tpu.train.checkpoint import TrainState
-        prev = ckptr.latest_step() or 0
-        ckptr.save(TrainState(
-            params=out["params"], step=prev + cfg.iters,
-            best_params=out["best_params"],
-            best_loss=float(out["best_loss"]),
-            loss_history=np.asarray(out["loss_history"]),
-            eval_history=np.asarray(out["eval_history"])))
+
+        def on_chunk(i, st):
+            ckptr.save(TrainState(
+                params=st["params"],
+                step=prev_step + len(st["loss_history"]),
+                best_params=st["best_params"],
+                best_loss=float(st["best_loss"]),
+                loss_history=np.concatenate(
+                    [prev_loss, np.asarray(st["loss_history"])]),
+                eval_history=np.concatenate(
+                    [prev_eval, np.asarray(st["eval_history"])])))
+
+    out = train(loss_fn, params, tc, eval_fn=eval_fn,
+                record_history=cfg.record_history, on_chunk=on_chunk)
+    out["loss_history"] = jnp.concatenate(
+        [jnp.asarray(prev_loss), out["loss_history"]])
+    out["eval_history"] = jnp.concatenate(
+        [jnp.asarray(prev_eval), out["eval_history"]])
+    out.update(cfg=cfg, model=model, data=data, predict=predict)
     return out
 
 

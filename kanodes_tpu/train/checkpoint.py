@@ -72,13 +72,15 @@ class Checkpointer:
         path = self._path(state.step)
         if _HAVE_ORBAX:
             self._ckptr.save(path, tree, force=True)
-        else:  # numpy fallback
-            os.makedirs(path, exist_ok=True)
-            flat, treedef = jax.tree_util.tree_flatten(tree)
-            np.savez(os.path.join(path, "state.npz"),
-                     **{f"leaf_{i}": leaf for i, leaf in enumerate(flat)})
-            with open(os.path.join(path, "treedef.json"), "w") as f:
-                json.dump(str(treedef), f)
+        else:  # numpy fallback: atomic pickled-tree write
+            import shutil
+            os.makedirs(path + ".tmp", exist_ok=True)
+            arr = np.empty((), dtype=object)
+            arr[()] = tree
+            np.save(os.path.join(path + ".tmp", "state.npy"), arr,
+                    allow_pickle=True)
+            shutil.rmtree(path, ignore_errors=True)
+            os.replace(path + ".tmp", path)
         self._retain()
         return path
 
@@ -88,10 +90,11 @@ class Checkpointer:
             raise FileNotFoundError(f"no checkpoints in {self.directory}")
         step = steps[-1] if step is None else step
         path = self._path(step)
-        if _HAVE_ORBAX:
+        if _HAVE_ORBAX and not os.path.exists(
+                os.path.join(path, "state.npy")):
             return self._ckptr.restore(path)
-        data = np.load(os.path.join(path, "state.npz"), allow_pickle=True)
-        raise NotImplementedError("numpy fallback restore requires orbax")
+        return np.load(os.path.join(path, "state.npy"),
+                       allow_pickle=True).item()
 
     def latest_step(self) -> int | None:
         steps = self.steps()
@@ -102,3 +105,38 @@ class Checkpointer:
         for s in steps[:-self.keep]:
             import shutil
             shutil.rmtree(self._path(s), ignore_errors=True)
+
+
+def select_from_history(param_history, metric_history, k: int = 0):
+    """Post-hoc model selection over a recorded parameter history.
+
+    The reference stores every iteration's flat params (`p_list`,
+    `LV_driver_KANODE.jl:252-272`) and selects the plotting/SR model as
+    the argmin over the stored loss vector after the fact
+    (`Plotting_standard.jl:105-110`). Here the history is the bounded
+    snapshot ring produced by `train(..., record_history=True)` (one
+    snapshot per eval point) and selection can target ANY recorded
+    metric — e.g. the test-horizon loss rather than the train loss.
+
+    Args:
+      param_history: pytree with leading axis n_snapshots (stacked params).
+      metric_history: [n_snapshots] metric aligned with the snapshots.
+      k: 0 -> argmin params; k>0 -> list of the k best (ascending metric).
+
+    Returns (params, index, metric) for k == 0, else a list of such
+    triples.
+    """
+    metric = np.asarray(metric_history)
+    n = jax.tree_util.tree_leaves(param_history)[0].shape[0]
+    if metric.shape[0] != n:
+        raise ValueError(
+            f"history length {n} != metric length {metric.shape[0]}")
+    order = np.argsort(metric, kind="stable")
+
+    def pick(i):
+        p = jax.tree_util.tree_map(lambda x: x[i], param_history)
+        return p, int(i), float(metric[i])
+
+    if k == 0:
+        return pick(int(order[0]))
+    return [pick(int(i)) for i in order[:k]]

@@ -55,23 +55,37 @@ def train(loss_fn: Callable[[Any], Array],
           params,
           cfg: TrainConfig,
           eval_fn: Callable[[Any], Array] | None = None,
-          track_best: bool = True):
+          track_best: bool = True,
+          record_history: bool = False,
+          on_chunk: Callable[[int, dict], None] | None = None,
+          opt_state=None):
     """Run `cfg.iters` optimization steps fully on device.
 
     Args:
       loss_fn: params -> scalar training loss (the objective).
       eval_fn: params -> scalar eval metric, run every `cfg.eval_every`
         iterations (e.g. the test-horizon loss of `LV_driver_KANODE.jl:214`).
-      track_best: keep the argmin-loss parameters in the carry — replaces
-        the reference's post-hoc argmin over a stored full parameter
-        history (`Plotting_standard.jl:105-110`) without O(iters x params)
-        checkpoint storage.
+      track_best: keep the argmin-loss parameters in the carry — the
+        online equivalent of the reference's post-hoc argmin over a
+        stored full parameter history (`Plotting_standard.jl:105-110`)
+        without O(iters x params) checkpoint storage.
+      record_history: also return "param_history" — a parameter snapshot
+        at every eval point ([n_evals, ...] leaves). This restores the
+        reference's post-hoc model-selection capability (pick the params
+        minimizing ANY recorded metric after the fact,
+        `LV_driver_KANODE.jl:252-272`) at eval cadence, bounding storage
+        to iters/eval_every snapshots instead of its full p_list.
+      on_chunk: called as on_chunk(call_index, state) after every device
+        execution with the live params/opt_state/histories — the hook
+        for mid-run checkpointing of long runs.
+      opt_state: resume an existing optimizer state (restart flows).
 
     Returns dict with final/best params, per-iter train-loss history and
     per-eval metric history.
     """
     opt = make_optimizer(cfg)
-    opt_state = opt.init(params)
+    if opt_state is None:
+        opt_state = opt.init(params)
     vg = jax.value_and_grad(loss_fn)
 
     # chunking: the run executes n_calls * per_call iterations, which
@@ -99,28 +113,43 @@ def train(loss_fn: Callable[[Any], Array],
     def outer(carry, _):
         carry, losses = lax.scan(step, carry, None, length=inner)
         metric = eval_fn(carry[0]) if eval_fn is not None else jnp.nan
-        return carry, (losses, metric)
+        snap = carry[0] if record_history else jnp.nan
+        return carry, (losses, metric, snap)
 
     @jax.jit
     def run_chunk(carry):
-        carry, (losses, metrics) = lax.scan(outer, carry, None,
-                                            length=evals_per_call)
-        return carry, losses.reshape(-1), metrics
+        carry, (losses, metrics, snaps) = lax.scan(outer, carry, None,
+                                                   length=evals_per_call)
+        return carry, losses.reshape(-1), metrics, snaps
 
     carry = (params, opt_state, jnp.asarray(jnp.inf, jnp.float32), params)
-    loss_chunks, metric_chunks = [], []
-    for _ in range(n_calls):
-        carry, losses, metrics = run_chunk(carry)
+    loss_chunks, metric_chunks, snap_chunks = [], [], []
+    for i in range(n_calls):
+        carry, losses, metrics, snaps = run_chunk(carry)
         loss_chunks.append(losses)
         metric_chunks.append(metrics)
+        if record_history:
+            snap_chunks.append(snaps)
+        if on_chunk is not None:
+            on_chunk(i, {
+                "params": carry[0], "opt_state": carry[1],
+                "best_loss": carry[2], "best_params": carry[3],
+                "loss_history": jnp.concatenate(loss_chunks),
+                "eval_history": jnp.concatenate(metric_chunks),
+            })
     params, opt_state, best_loss, best_params = carry
-    return {
+    out = {
         "params": params,
+        "opt_state": opt_state,
         "best_params": best_params,
         "best_loss": best_loss,
         "loss_history": jnp.concatenate(loss_chunks)[:cfg.iters],
         "eval_history": jnp.concatenate(metric_chunks),
     }
+    if record_history:
+        out["param_history"] = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs), *snap_chunks)
+    return out
 
 
 def train_step_fn(loss_fn: Callable, cfg: TrainConfig):

@@ -43,7 +43,16 @@ def test_checkpoint_restart_prune(tmp_path):
     # restart continues from saved params: first losses much lower than a
     # fresh run's first losses
     out2 = run(cfg, checkpoint_dir=ckdir, restart=True)
-    assert float(out2["loss_history"][0]) < float(out1["loss_history"][0])
+    n1 = len(np.asarray(out1["loss_history"]))
+    assert float(out2["loss_history"][n1]) < float(out1["loss_history"][0])
+
+    # ...and EXTENDS the stored loss/test histories, like the reference
+    # restart flow (LV_driver_KANODE.jl:146-160)
+    assert len(np.asarray(out2["loss_history"])) == 2 * n1
+    np.testing.assert_allclose(np.asarray(out2["loss_history"][:n1]),
+                               np.asarray(out1["loss_history"]))
+    assert (len(np.asarray(out2["eval_history"]))
+            == 2 * len(np.asarray(out1["eval_history"])))
 
     # prune-on-restart rebuilds a narrower net and keeps training
     out3 = run(LVConfig(iters=100, eval_every=100),
