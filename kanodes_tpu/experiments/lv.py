@@ -160,9 +160,13 @@ def make_ode_fns(cfg: LVConfig, model, data):
 
     def predict(params, t_grid):
         if cfg.solve_mode == "adaptive":
+            # save-point clipping floors the iteration count at one
+            # accepted step per save time, so the bounded scan must grow
+            # with the grid (the train grid uses cfg.max_steps as-is)
+            ms = max(cfg.max_steps, 2 * int(t_grid.shape[0]))
             return odeint(rhs, u0, t_grid, params, solver="tsit5",
                           rtol=cfg.rtol, atol=cfg.atol,
-                          max_steps=cfg.max_steps, adjoint="direct")
+                          max_steps=ms, adjoint="direct")
         if use_fused:
             from kanodes_tpu.ops.kdense_pallas import fused_params
             from kanodes_tpu.ops.rk_fused import fused_rk_multistep
@@ -237,7 +241,8 @@ def make_ode_fns(cfg: LVConfig, model, data):
 
 def run(cfg: LVConfig | None = None, params=None, *,
         checkpoint_dir: str | None = None, restart: bool = False,
-        prune_threshold: float | None = None) -> dict[str, Any]:
+        prune_threshold: float | None = None,
+        verbose: bool = False) -> dict[str, Any]:
     """Train an LV neural ODE end to end; returns params + histories.
 
     Restart/prune parity with the reference driver's `is_restart` /
@@ -289,15 +294,21 @@ def run(cfg: LVConfig | None = None, params=None, *,
         from kanodes_tpu.train.checkpoint import TrainState
 
         def on_chunk(i, st):
+            step = prev_step + len(st["loss_history"])
             ckptr.save(TrainState(
                 params=st["params"],
-                step=prev_step + len(st["loss_history"]),
+                step=step,
                 best_params=st["best_params"],
                 best_loss=float(st["best_loss"]),
                 loss_history=np.concatenate(
                     [prev_loss, np.asarray(st["loss_history"])]),
                 eval_history=np.concatenate(
                     [prev_eval, np.asarray(st["eval_history"])])))
+            if verbose:
+                print(f"[lv] step {step}  train "
+                      f"{float(st['loss_history'][-1]):.3e}  best "
+                      f"{float(st['best_loss']):.3e}  test "
+                      f"{float(st['eval_history'][-1]):.3e}", flush=True)
 
     out = train(loss_fn, params, tc, eval_fn=eval_fn,
                 record_history=cfg.record_history, on_chunk=on_chunk)

@@ -58,3 +58,121 @@ def test_gradient_flows_through_implicit_solve():
     g = jax.grad(loss)(jnp.asarray(-1.0))
     # d/da exp(a) at a=-1 -> exp(-1)
     np.testing.assert_allclose(float(g), np.exp(-1.0), rtol=5e-3)
+
+
+def test_newton_convergence_flag():
+    """kvaerno3_step surfaces Newton failure instead of silently
+    returning garbage: a huge step on a strongly nonlinear RHS fails,
+    a small one converges."""
+    from kanodes_tpu.ode.stiff import kvaerno3_step
+
+    def rhs(t, y, a):
+        return 1.0 + y ** 2          # Riccati blowup
+
+    y0 = jnp.asarray([0.0])
+    _, _, ok_small = kvaerno3_step(rhs, 0.0, y0, 1e-3, None)
+    # dt=50: the stage equation y = c + gamma*dt*(1+y^2) has negative
+    # discriminant -> NO real solution -> Newton must report failure
+    _, _, ok_big = kvaerno3_step(rhs, 0.0, y0, 50.0, None,
+                                 newton_iters=8)
+    assert bool(ok_small)
+    assert not bool(ok_big)
+
+
+def test_adaptive_implicit_matches_exact_decay():
+    ts = jnp.linspace(0.0, 2.0, 5)
+    ys, st = odeint_implicit(lambda t, y, a: -y, jnp.ones(1), ts,
+                             adaptive=True, rtol=1e-7, atol=1e-9,
+                             return_stats=True)
+    assert bool(st["success"])
+    np.testing.assert_allclose(ys[:, 0], np.exp(-np.asarray(ts)),
+                               rtol=1e-5)
+    assert int(st["n_iter"]) < 2000
+
+
+def test_adaptive_implicit_on_stiff_system():
+    """Adaptive controller handles lambda=-1000 without exploding and
+    without needing explicit-stability step sizes."""
+    lam = -1000.0
+
+    def rhs(t, y, a):
+        return jnp.stack([lam * (y[0] - jnp.cos(t)) - jnp.sin(t), -y[1]])
+
+    ts = jnp.linspace(0.0, 1.0, 3)
+    ys, st = odeint_implicit(rhs, jnp.asarray([2.0, 1.0]), ts,
+                             adaptive=True, rtol=1e-5, atol=1e-7,
+                             return_stats=True)
+    assert bool(st["success"])
+    np.testing.assert_allclose(ys[-1, 0], np.cos(1.0), atol=1e-3)
+
+
+def test_datagen_truth_cross_validated_by_implicit_solver():
+    """The host RK4 truth path (pde/datagen.py) agrees with the
+    independent adaptive ESDIRK solver at <= 1e-8 relative on the two
+    problems the reference integrates with STIFF solvers
+    (Allen-Cahn_Surrogate.jl:63 Rosenbrock23, Schrodinger_Surrogate.jl:69
+    Rodas5). Two unrelated integrators agreeing to 1e-8 certifies both."""
+    import jax
+
+    from kanodes_tpu.pde.datagen import _cyclic_lap
+    from kanodes_tpu.utils.host_rk import rk4_dense
+
+    with jax.enable_x64():
+        # ---- Allen-Cahn surrogate RHS (full reference grid, n=41)
+        dx = 0.05
+        x = np.arange(-1.0, 1.0 + dx / 2, dx)
+        lap = _cyclic_lap(len(x), dx)
+        u0 = x ** 2 * np.cos(np.pi * x)
+        ts = np.asarray([0.0, 0.5, 1.0])
+
+        def f_np(t, u):
+            return 1e-4 * (lap @ u) + 5.0 * u - 5.0 * u ** 3
+
+        truth = rk4_dense(f_np, u0, ts, substeps=4000)
+
+        lap_j = jnp.asarray(lap)
+
+        def f_jx(t, u, a):
+            return 1e-4 * (lap_j @ u) + 5.0 * u - 5.0 * u ** 3
+
+        ys, st = odeint_implicit(f_jx, jnp.asarray(u0), jnp.asarray(ts),
+                                 adaptive=True, rtol=1e-10, atol=1e-12,
+                                 return_stats=True)
+        assert bool(st["success"])
+        rel = (np.linalg.norm(np.asarray(ys[-1]) - truth[-1])
+               / np.linalg.norm(truth[-1]))
+        assert rel <= 1e-8, rel
+
+        # ---- nonlinear Schrödinger RHS (coarsened grid for test cost)
+        dxs = 0.25
+        xs = np.arange(-5.0, 5.0 + dxs / 2, dxs)
+        n = len(xs)
+        laps = _cyclic_lap(n, dxs)
+        z0 = np.concatenate([2.0 / np.cosh(xs), np.zeros(n)])
+        tss = np.asarray([0.0, np.pi / 4, np.pi / 2])
+
+        def g_np(t, u):
+            ur, ui = u[:n], u[n:]
+            return np.concatenate([
+                0.5 * (laps @ ui) + (ur ** 2 + ui ** 2) * ui,
+                -0.5 * (laps @ ur) - (ur ** 2 + ui ** 2) * ur])
+
+        truth_s = rk4_dense(g_np, z0, tss, substeps=20000)
+
+        laps_j = jnp.asarray(laps)
+
+        def g_jx(t, u, a):
+            ur, ui = u[:n], u[n:]
+            return jnp.concatenate([
+                0.5 * (laps_j @ ui) + (ur ** 2 + ui ** 2) * ui,
+                -0.5 * (laps_j @ ur) - (ur ** 2 + ui ** 2) * ur])
+
+        ys_s, st_s = odeint_implicit(g_jx, jnp.asarray(z0),
+                                     jnp.asarray(tss),
+                                     adaptive=True, rtol=1e-10,
+                                     atol=1e-12, max_steps=200_000,
+                                     return_stats=True)
+        assert bool(st_s["success"])
+        rel_s = (np.linalg.norm(np.asarray(ys_s[-1]) - truth_s[-1])
+                 / np.linalg.norm(truth_s[-1]))
+        assert rel_s <= 1e-8, rel_s
