@@ -32,9 +32,14 @@ _lib = None
 
 
 def _build() -> str:
-    subprocess.run(
-        ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO],
-        check=True, capture_output=True)
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-fopenmp",
+           _SRC, "-o", _SO]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except subprocess.CalledProcessError:
+        # toolchains without libgomp: serial build (pragmas are inert)
+        cmd.remove("-fopenmp")
+        subprocess.run(cmd, check=True, capture_output=True)
     return _SO
 
 
@@ -52,6 +57,14 @@ def _load():
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.c_int, ctypes.c_int, ctypes.c_uint, ctypes.c_int,
             ctypes.c_int, ctypes.c_uint, ctypes.c_double, ctypes.c_char_p,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int)]
+        lib.symreg_fit_multi.restype = ctypes.c_int
+        lib.symreg_fit_multi.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int, ctypes.c_int, ctypes.c_uint, ctypes.c_int,
+            ctypes.c_int, ctypes.c_uint, ctypes.c_double, ctypes.c_int,
+            ctypes.c_double, ctypes.c_char_p,
             ctypes.c_int, ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_int)]
         _lib = lib
@@ -77,11 +90,15 @@ def fit_expression(x: np.ndarray, y: np.ndarray,
                                                          "exp", "square"),
                    population: int = 512, generations: int = 200,
                    parsimony: float = 1e-3, seed: int = 0,
-                   restarts: int = 3) -> SymbolicFit:
+                   restarts: int = 3,
+                   stop_mse: float | None = None) -> SymbolicFit:
     """Fit a closed-form expression y ~ f(x).
 
-    x: [N] or [N, d]; y: [N]. `restarts` independent seeds, best kept
-    (the reference runs 20 populations, Symbolic_reg.jl:150).
+    x: [N] or [N, d]; y: [N]. `restarts` independent seeds run in
+    PARALLEL inside the engine (OpenMP over restarts — the reference
+    runs 20 populations, Symbolic_reg.jl:150), best kept. `stop_mse`
+    (default: 1e-10 * var(y)) cancels remaining restarts once one is
+    already at a numerically exact fit — the single-core win.
     """
     x = np.asarray(x, np.float64)
     if x.ndim == 1:
@@ -92,6 +109,8 @@ def fit_expression(x: np.ndarray, y: np.ndarray,
     mask = 0
     for o in ops:
         mask |= OPS_BITS[o]
+    if stop_mse is None:
+        stop_mse = 1e-10 * max(float(np.var(y)), 1e-30)
 
     try:
         lib = _load()
@@ -100,25 +119,18 @@ def fit_expression(x: np.ndarray, y: np.ndarray,
 
     xc = np.ascontiguousarray(x)
     yc = np.ascontiguousarray(y)
-    best = None
-    for r in range(restarts):
-        buf = ctypes.create_string_buffer(4096)
-        mse = ctypes.c_double()
-        size = ctypes.c_int()
-        rc = lib.symreg_fit(
-            xc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-            yc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-            n, d, mask, population, generations,
-            seed + 7919 * r + 1, parsimony, buf, len(buf),
-            ctypes.byref(mse), ctypes.byref(size))
-        if rc != 0:
-            continue
-        cand = SymbolicFit(buf.value.decode(), mse.value, size.value)
-        if best is None or cand.mse < best.mse:
-            best = cand
-    if best is None:
+    buf = ctypes.create_string_buffer(4096)
+    mse = ctypes.c_double()
+    size = ctypes.c_int()
+    rc = lib.symreg_fit_multi(
+        xc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        yc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n, d, mask, population, generations,
+        seed, parsimony, restarts, stop_mse, buf, len(buf),
+        ctypes.byref(mse), ctypes.byref(size))
+    if rc != 0:
         return _poly_fallback(x, y)
-    return best
+    return SymbolicFit(buf.value.decode(), mse.value, size.value)
 
 
 def _poly_fallback(x: np.ndarray, y: np.ndarray,

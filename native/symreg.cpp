@@ -20,6 +20,7 @@
 // Returns 0 on success. out_expr receives a numpy-evaluable infix
 // string using variables x0..x{nvars-1}.
 
+#include <atomic>
 #include <cmath>
 #include <cstdio>
 #include <cstring>
@@ -27,6 +28,10 @@
 #include <string>
 #include <vector>
 #include <algorithm>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 namespace {
 
@@ -288,25 +293,10 @@ std::string to_infix(const Genome& g) {
   return stack.empty() ? "0" : stack.back();
 }
 
-}  // namespace
-
-extern "C" int symreg_fit(const double* X, const double* y, int n,
-                          int nvars, unsigned ops_mask, int pop, int gens,
-                          unsigned seed, double parsimony, char* out_expr,
-                          int out_cap, double* out_mse, int* out_size) {
-  if (n <= 0 || nvars <= 0 || pop < 8 || !X || !y || !out_expr)
-    return 1;
-  Problem p{X, y, n, nvars, {}, parsimony};
-  if (ops_mask & MASK_ADD) p.ops.push_back(ADD);
-  if (ops_mask & MASK_SUB) p.ops.push_back(SUB);
-  if (ops_mask & MASK_MUL) p.ops.push_back(MUL);
-  if (ops_mask & MASK_DIV) p.ops.push_back(DIV);
-  if (ops_mask & MASK_SIN) p.ops.push_back(SIN);
-  if (ops_mask & MASK_COS) p.ops.push_back(COS);
-  if (ops_mask & MASK_EXP) p.ops.push_back(EXP);
-  if (ops_mask & MASK_SQ) p.ops.push_back(SQ);
-  if (p.ops.empty()) return 2;
-
+// one full GP run; `cancel` (optional) aborts remaining generations
+// when another restart has already met the target
+Genome run_gp(const Problem& p, int pop, int gens, unsigned seed,
+              const std::atomic<bool>* cancel) {
   Rng rng(seed ? seed : 12345u);
   std::vector<Genome> popv(pop);
   std::vector<double> fit(pop);
@@ -324,6 +314,7 @@ extern "C" int symreg_fit(const double* X, const double* y, int n,
 
   const int TOUR = 5;
   for (int gen = 0; gen < gens; ++gen) {
+    if (cancel && cancel->load(std::memory_order_relaxed)) break;
     std::vector<Genome> next(pop);
     std::vector<double> nfit(pop);
     next[0] = best;                 // elitism
@@ -354,11 +345,82 @@ extern "C" int symreg_fit(const double* X, const double* y, int n,
     }
   }
   refine_constants(best, p, rng, 400);
+  return best;
+}
 
+int build_problem(Problem& p, unsigned ops_mask) {
+  if (ops_mask & MASK_ADD) p.ops.push_back(ADD);
+  if (ops_mask & MASK_SUB) p.ops.push_back(SUB);
+  if (ops_mask & MASK_MUL) p.ops.push_back(MUL);
+  if (ops_mask & MASK_DIV) p.ops.push_back(DIV);
+  if (ops_mask & MASK_SIN) p.ops.push_back(SIN);
+  if (ops_mask & MASK_COS) p.ops.push_back(COS);
+  if (ops_mask & MASK_EXP) p.ops.push_back(EXP);
+  if (ops_mask & MASK_SQ) p.ops.push_back(SQ);
+  return p.ops.empty() ? 2 : 0;
+}
+
+int write_result(const Genome& best, const Problem& p, char* out_expr,
+                 int out_cap, double* out_mse, int* out_size) {
   std::string expr = to_infix(best);
   if ((int)expr.size() + 1 > out_cap) return 3;
   std::memcpy(out_expr, expr.c_str(), expr.size() + 1);
   if (out_mse) *out_mse = mse_of(best, p);
   if (out_size) *out_size = (int)best.size();
   return 0;
+}
+
+}  // namespace
+
+extern "C" int symreg_fit(const double* X, const double* y, int n,
+                          int nvars, unsigned ops_mask, int pop, int gens,
+                          unsigned seed, double parsimony, char* out_expr,
+                          int out_cap, double* out_mse, int* out_size) {
+  if (n <= 0 || nvars <= 0 || pop < 8 || !X || !y || !out_expr)
+    return 1;
+  Problem p{X, y, n, nvars, {}, parsimony};
+  if (int rc = build_problem(p, ops_mask)) return rc;
+  Genome best = run_gp(p, pop, gens, seed, nullptr);
+  return write_result(best, p, out_expr, out_cap, out_mse, out_size);
+}
+
+// Parallel multi-restart search (the reference runs 20 populations,
+// Symbolic_reg.jl:150): OpenMP over independent restarts, with early
+// cancellation once any restart's best MSE drops below `stop_mse`
+// (pass <= 0 to always run every restart to completion).
+extern "C" int symreg_fit_multi(const double* X, const double* y, int n,
+                                int nvars, unsigned ops_mask, int pop,
+                                int gens, unsigned seed, double parsimony,
+                                int restarts, double stop_mse,
+                                char* out_expr, int out_cap,
+                                double* out_mse, int* out_size) {
+  if (n <= 0 || nvars <= 0 || pop < 8 || restarts < 1 || !X || !y ||
+      !out_expr)
+    return 1;
+  Problem p{X, y, n, nvars, {}, parsimony};
+  if (int rc = build_problem(p, ops_mask)) return rc;
+
+  std::vector<Genome> bests(restarts);
+  std::vector<double> mses(restarts, 1e300);
+  std::atomic<bool> cancel(false);
+
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int r = 0; r < restarts; ++r) {
+    if (cancel.load(std::memory_order_relaxed)) continue;
+    bests[r] = run_gp(p, pop, gens, seed + 7919u * (unsigned)r + 1,
+                      &cancel);
+    mses[r] = mse_of(bests[r], p);
+    if (stop_mse > 0 && mses[r] <= stop_mse)
+      cancel.store(true, std::memory_order_relaxed);
+  }
+
+  int bi = -1;
+  for (int r = 0; r < restarts; ++r) {
+    if (bests[r].empty()) continue;
+    if (bi < 0 || mses[r] < mses[bi] ||
+        (mses[r] == mses[bi] && bests[r].size() < bests[bi].size()))
+      bi = r;
+  }
+  if (bi < 0) return 4;
+  return write_result(bests[bi], p, out_expr, out_cap, out_mse, out_size);
 }
