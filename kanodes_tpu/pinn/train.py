@@ -138,13 +138,21 @@ class EpochBatch:
     btargets: dict
     sym_a: np.ndarray
     sym_b: np.ndarray
+    # uniform candidate pool for device-side top-|r| selection ([0,2]
+    # when adaptive resampling is off)
+    adaptive_cand: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.empty((0, 2), np.float32))
 
 
 def adaptive_residual_points(cfg: PINNConfig, geo: G.Geometry,
                              mat: L.Material, model, params, rng,
                              n_pick: int) -> np.ndarray:
-    """Top-|residual| candidate selection (:400-431): evaluate the PDE
-    residual on a uniform candidate pool and keep the worst points."""
+    """Host-side top-|residual| candidate selection (:400-431): evaluate
+    the PDE residual on a uniform candidate pool and keep the worst
+    points. The training loop itself uses the DEVICE-side equivalent
+    (jax.lax.top_k inside the epoch-block scan, so every epoch's picks
+    see the current params); this host version remains for ad-hoc
+    analysis."""
     if n_pick <= 0:
         return np.empty((0, 2), np.float32)
     n_cand = max(cfg.adaptive_candidates, 4 * n_pick)
@@ -160,8 +168,8 @@ def adaptive_residual_points(cfg: PINNConfig, geo: G.Geometry,
 
 def sample_epoch_batch(cfg: PINNConfig, geo: G.Geometry, rng,
                        val: bool = False, n_sym: int = 128,
-                       adaptive_pts: np.ndarray | None = None
-                       ) -> EpochBatch:
+                       adaptive_pts: np.ndarray | None = None,
+                       n_cand: int = 0) -> EpochBatch:
     counts = dict(
         uniform=cfg.val_n_interior_uniform if val else cfg.n_interior_uniform,
         refine=cfg.val_n_interior_refine if val else cfg.n_interior_refine,
@@ -187,7 +195,10 @@ def sample_epoch_batch(cfg: PINNConfig, geo: G.Geometry, rng,
         a = b = np.zeros((1, 2), np.float32)
     want = max(n_sym // 2, 1)
     idx = np.resize(np.arange(a.shape[0]), want)
-    return EpochBatch(interior, tip_pts, bdata, btargets, a[idx], b[idx])
+    cand = (G.sample_interior_uniform(geo, rng, n_cand) if n_cand > 0
+            else np.empty((0, 2), np.float32))
+    return EpochBatch(interior, tip_pts, bdata, btargets, a[idx], b[idx],
+                      adaptive_cand=cand)
 
 
 def make_step(cfg: PINNConfig, model: KANPINN, geo: G.Geometry,
@@ -239,14 +250,36 @@ def make_step(cfg: PINNConfig, model: KANPINN, geo: G.Geometry,
         epoch-batch pytree with a leading epoch axis; lax.scan consumes
         one epoch per iteration. This amortizes the host<->device
         round-trip (through this environment's TPU tunnel, per-epoch
-        dispatch costs ~2 s; per-block it is negligible)."""
+        dispatch costs ~2 s; per-block it is negligible).
+
+        Adaptive resampling runs per epoch ON DEVICE: each epoch carries
+        a fresh uniform candidate pool; the scan body scores |PDE
+        residual| with the CURRENT params and keeps the jax.lax.top_k
+        worst — exact `StrainLimiting_KAN_PINN.py:400-431` semantics
+        (the reference re-picks with the live model every epoch),
+        without any host round-trip."""
 
         def body(carry, xs):
             params, opt_state = carry
             b, pde_w, lr = xs
+            interior = b["interior"]
+            if cfg.n_adaptive > 0:
+                def phi_cur(p):
+                    return model.phi(params, p)
+
+                cand = b["adaptive_cand"]
+                r = (L.pde_residual(phi_cur, cand, mat)
+                     if cfg.residual == "autograd" else
+                     L.pde_residual_fd(phi_cur, cand, mat, cfg.fd_eps))
+                _, top = jax.lax.top_k(jnp.abs(r), cfg.n_adaptive)
+                # before the PDE ramp the residual is untrained noise:
+                # fall back to the first k (uniform) candidates
+                idx = jnp.where(pde_w > 0, top,
+                                jnp.arange(cfg.n_adaptive))
+                interior = jnp.concatenate([interior, cand[idx]], axis=0)
             (loss, aux), grads = jax.value_and_grad(
                 total_loss, has_aux=True)(
-                params, b["interior"], b["tip_pts"], b["bdata"],
+                params, interior, b["tip_pts"], b["bdata"],
                 b["btargets"], b["sym_a"], b["sym_b"], pde_w)
             opt_state.hyperparams["learning_rate"] = lr
             updates, opt_state = opt.update(grads, opt_state, params)
@@ -323,19 +356,12 @@ def train(cfg: PINNConfig | None = None, geo: G.Geometry | None = None,
     while epoch < n_total:
         nb = min(B, n_total - epoch)
         epochs = list(range(epoch, epoch + nb))
-        # adaptive picks refresh once per block (params change within the
-        # block are invisible to the sampler — documented deviation)
-        adapt = None
-        if cfg.n_adaptive > 0:
-            pde_on = pde_weight_schedule(cfg, epochs[0]) > 0
-            adapt = (adaptive_residual_points(cfg, geo, mat, model,
-                                              params, rng, cfg.n_adaptive)
-                     if pde_on else
-                     G.sample_interior_uniform(geo, rng, cfg.n_adaptive))
-        batches = [sample_epoch_batch(
-            cfg, geo, rng,
-            adaptive_pts=(adapt if adapt is None else
-                          adapt.copy())) for _ in epochs]
+        # adaptive top-k selection happens per-epoch inside block_step;
+        # the host only supplies fresh uniform candidate pools
+        n_cand = (max(cfg.adaptive_candidates, 4 * cfg.n_adaptive)
+                  if cfg.n_adaptive > 0 else 0)
+        batches = [sample_epoch_batch(cfg, geo, rng, n_cand=n_cand)
+                   for _ in epochs]
         blocks = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *[_to_jax(b) for b in batches])
         pde_ws = jnp.asarray([pde_weight_schedule(cfg, e) for e in epochs],
@@ -397,6 +423,7 @@ def _to_jax(batch: EpochBatch) -> dict:
         "btargets": {k: jnp.asarray(v) for k, v in batch.btargets.items()},
         "sym_a": jnp.asarray(batch.sym_a),
         "sym_b": jnp.asarray(batch.sym_b),
+        "adaptive_cand": jnp.asarray(batch.adaptive_cand),
     }
 
 

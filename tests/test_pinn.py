@@ -215,3 +215,29 @@ def test_adaptive_residual_resampling():
     out = train(tiny)
     import numpy as np
     assert np.isfinite(out["history"]["loss"]).all()
+
+
+def test_device_topk_matches_host_selection():
+    """The in-scan jax.lax.top_k pick equals the host argpartition pick
+    on the same candidate pool (StrainLimiting_KAN_PINN.py:400-431)."""
+    import numpy as np
+    from kanodes_tpu.pinn import losses as L
+    from kanodes_tpu.pinn.model import KANPINN
+
+    geo = G.Geometry()
+    mat = L.Material()
+    model = KANPINN((2, 8, 1), n_basis=6)
+    params = model.init(jax.random.PRNGKey(3))
+    rng = np.random.default_rng(1)
+    cand = G.sample_interior_uniform(geo, rng, 256)
+
+    def phi(p):
+        return model.phi(params, p)
+
+    r = np.abs(np.asarray(L.pde_residual(phi, jnp.asarray(cand), mat)))
+    host_pick = set(map(tuple, cand[np.argpartition(r, -16)[-16:]]))
+
+    _, idx = jax.lax.top_k(jnp.abs(
+        L.pde_residual(phi, jnp.asarray(cand), mat)), 16)
+    dev_pick = set(map(tuple, cand[np.asarray(idx)]))
+    assert dev_pick == host_pick
