@@ -1,0 +1,84 @@
+"""Full-budget Schrödinger surrogate run (VERDICT round-1 #3).
+
+Matches the reference's budget — 1e5 training iterations, Adam 1e-3
+(`Schrodinger_Surrogate.jl:170-173`), KAN [402,10,402] grid 10, 8
+snapshots — on the TPU-native path: snapshot-shooting warmup then
+trajectory polish, both on the wide-state fused MULTISTEP kernels (one
+Pallas launch per 20/40-step segment solve instead of one per RK step).
+
+Resumable at phase granularity via artifacts/schrodinger_full.json.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+
+import jax.numpy as jnp
+import numpy as np
+
+from kanodes_tpu.experiments.pde_surrogate import (SurrogateConfig,
+                                                   make_data, make_model,
+                                                   make_fns, run)
+
+OUT = "artifacts/schrodinger_full.json"
+PHASES = [
+    # (solve_mode, lr, iters) — 1e5 total, reference Adam-1e-3 regime
+    ("shooting", 1e-3, 50_000),
+    ("shooting", 3e-4, 30_000),
+    ("fixed", 1e-4, 20_000),
+]
+
+base = SurrogateConfig(problem="schrodinger", impl="fused",
+                       max_iters_per_call=2_000, eval_every=500)
+
+state = {"phases_done": 0, "history": []}
+if os.path.exists(OUT):
+    with open(OUT) as f:
+        state = json.load(f)
+
+params = None
+if state["phases_done"] > 0:
+    params = jax.tree_util.tree_map(
+        jnp.asarray, np.load("artifacts/schrodinger_full_params.npy",
+                             allow_pickle=True).item())
+
+t_all = time.time()
+for pi, (mode, lr, iters) in enumerate(PHASES):
+    if pi < state["phases_done"]:
+        continue
+    cfg = dataclasses.replace(base, solve_mode=mode, lr=lr, iters=iters)
+    print(f"[schr] phase {pi}: {mode} lr={lr} iters={iters}", flush=True)
+    t0 = time.time()
+    out = run(cfg, params=params)
+    jax.block_until_ready(out["loss_history"])
+    dt = time.time() - t0
+    params = out["params"]
+    snap_mse = float(out["eval_history"][-1])
+    rec = {"phase": pi, "mode": mode, "lr": lr, "iters": iters,
+           "wall_s": round(dt, 1), "it_per_s": round(iters / dt, 1),
+           "train_loss": float(out["loss_history"][-1]),
+           "snapshot_mse": snap_mse}
+    print(json.dumps(rec), flush=True)
+    state["history"].append(rec)
+    state["phases_done"] = pi + 1
+    arr = np.empty((), dtype=object)
+    arr[()] = jax.tree_util.tree_map(np.asarray, params)
+    np.save("artifacts/schrodinger_full_params.npy", arr,
+            allow_pickle=True)
+    with open(OUT, "w") as f:
+        json.dump(state, f, indent=1)
+
+state["total_wall_s_last_launch"] = round(time.time() - t_all, 1)
+state["total_iters"] = sum(p[2] for p in PHASES)
+with open(OUT, "w") as f:
+    json.dump(state, f, indent=1)
+print(json.dumps({"final_snapshot_mse": state["history"][-1]["snapshot_mse"],
+                  "total_iters": state["total_iters"]}))

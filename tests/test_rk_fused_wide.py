@@ -64,3 +64,68 @@ def test_wide_step_gradients_match_xla(wide_setup):
     for a, b in zip(jax.tree_util.tree_leaves(gw),
                     jax.tree_util.tree_leaves(gx)):
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-6)
+
+
+def test_wide_multistep_matches_stepwise(wide_setup):
+    """One-launch multistep kernel == scan of single-step kernels,
+    values AND parameter gradients (same math, different launch
+    granularity)."""
+    chain, params = wide_setup
+    _, adv_multi = wide_chain_adapter(chain, multistep=True)
+    _, adv_step = wide_chain_adapter(chain, multistep=False)
+    x0 = jnp.asarray(np.random.default_rng(2).normal(
+        0, 0.25, (4, 150)), jnp.float32)
+    dt, n = 0.04, 5
+
+    y_m = adv_multi(params, x0, dt, n)
+    y_s = adv_step(params, x0, dt, n)
+    np.testing.assert_allclose(y_m, y_s, rtol=1e-5, atol=1e-6)
+
+    tgt = x0 * 0.98
+
+    def lm(p):
+        return jnp.mean((adv_multi(p, x0, dt, n) - tgt) ** 2)
+
+    def ls(p):
+        return jnp.mean((adv_step(p, x0, dt, n) - tgt) ** 2)
+
+    gm = jax.grad(lm)(params)
+    gs = jax.grad(ls)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gm),
+                    jax.tree_util.tree_leaves(gs)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7)
+
+
+def test_wide_multistep_full_history_cotangents(wide_setup):
+    """Trajectory-style loss touching EVERY saved state flows correct
+    cotangents through the single backward launch."""
+    from kanodes_tpu.ops.kdense_pallas import chain_spec_of, fused_params
+    from kanodes_tpu.ops.rk_fused_wide import (WideSpec,
+                                               fused_rk_multistep_wide,
+                                               fused_rk_step_wide)
+    chain, params = wide_setup
+    ws = WideSpec(chain_spec_of(chain))
+    c1, w1, c2, w2 = fused_params(params)
+    pp = ws.pad_params(c1, w1, c2, w2)
+    x0 = jnp.pad(jnp.asarray(np.random.default_rng(3).normal(
+        0, 0.2, (2, 150)), jnp.float32), ((0, 0), (0, ws.Ipad - 150)))
+    dt, n = 0.03, 4
+
+    def loss_multi(pp):
+        ys = fused_rk_multistep_wide(ws, "tsit5", dt, n, x0, *pp)
+        return jnp.mean(ys[:, :, :150] ** 2)
+
+    def loss_step(pp):
+        acc = 0.0
+        x = x0
+        for _ in range(n):
+            x = fused_rk_step_wide(ws, "tsit5", dt, x, *pp)
+            acc = acc + jnp.mean(x[:, :150] ** 2)
+        return acc / n
+
+    np.testing.assert_allclose(loss_multi(pp), loss_step(pp),
+                               rtol=1e-6, atol=1e-8)
+    gm = jax.grad(loss_multi)(pp)
+    gs = jax.grad(loss_step)(pp)
+    for a, b in zip(gm, gs):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7)
