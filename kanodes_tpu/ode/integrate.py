@@ -303,7 +303,14 @@ def _init_state(tab, f, y0, ts, args, rtol, atol, dt0):
     t0 = ts[0]
     tdir = jnp.sign(ts[-1] - ts[0])
     if dt0 is None:
-        dt = initial_dt(f, t0, y0, args, tab.order, rtol, atol, tdir)
+        # step-size selection must NOT be differentiated: initial_dt is
+        # a function of f(y0, args), and letting cotangents flow through
+        # the controller's dt chain produces exploding garbage gradients
+        # (d(solution)/d(step size) is an error-level quantity with
+        # error-level conditioning). err_nrm is already stopped in
+        # _adaptive_step; this stops the one remaining leak.
+        dt = lax.stop_gradient(
+            initial_dt(f, t0, y0, args, tab.order, rtol, atol, tdir))
     else:
         dt = jnp.asarray(dt0, dtype=jnp.result_type(ts))
     k1 = f(t0, y0, args)
