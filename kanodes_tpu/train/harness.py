@@ -80,8 +80,14 @@ def curriculum_train(model, params, ts: Array, X: Array,
     return {"params": params, "stages": history}
 
 
-def evaluate_model(model, params, ts, X, cfg: HarnessConfig) -> dict:
-    """Full metric suite on a trajectory rollout (:184-247)."""
+def evaluate_model(model, params, ts, X, cfg: HarnessConfig, *,
+                   skip_first: bool = False) -> dict:
+    """Full metric suite on a trajectory rollout (:184-247).
+
+    `skip_first=True` drops the first row from the metrics: used when the
+    rollout is seeded from a known state (e.g. the last train point) that
+    is not itself part of the evaluation set.
+    """
     ts = jnp.asarray(ts)
     X = jnp.asarray(X)
 
@@ -90,6 +96,8 @@ def evaluate_model(model, params, ts, X, cfg: HarnessConfig) -> dict:
 
     pred = odeint_fixed(rhs, X[0], ts, params, solver="tsit5",
                         substeps=cfg.substeps)
+    if skip_first:
+        pred, X = pred[1:], X[1:]
     m = trajectory_metrics(pred, X)
     m["horizon_mse"] = horizon_error(pred, X)
     m["stability"] = dataclasses.asdict(stability_check(np.asarray(pred)))
@@ -143,10 +151,15 @@ def compare_models(models: dict[str, tuple[Any, Any]], ts, X,
     report = {}
     for name, (model, params) in models.items():
         full = evaluate_model(model, params, ts, X, cfg)
-        test = evaluate_model(model, params,
-                              np.concatenate([ts_tr[-1:], ts_te]),
-                              np.concatenate([X_te[:1] * 0 + X_tr[-1:],
-                                              X_te]), cfg)
+        # Test-horizon rollout: integrate forward from the LAST TRAIN
+        # STATE at the last train time, then score against the test
+        # points only (the seeded IC row is excluded from the metrics —
+        # it would trivially match itself).
+        test = evaluate_model(
+            model, params,
+            np.concatenate([ts_tr[-1:], ts_te]),
+            np.concatenate([X_tr[-1:].astype(X_te.dtype), X_te]),
+            cfg, skip_first=True)
         rob = robustness_test(model, params, ts_tr, X_tr, cfg)
         report[name] = {"full": full, "test_horizon": test,
                         "robustness": rob}

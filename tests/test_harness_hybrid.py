@@ -101,6 +101,34 @@ def test_compare_models(lv_setup):
     assert "kan" in rep and "robustness" in rep["kan"]
 
 
+def test_test_horizon_excludes_seeded_ic(lv_setup):
+    """The test-horizon rollout is seeded from the last TRAIN state; the
+    seeded row must not count toward the metrics (it would trivially
+    match itself and deflate the error)."""
+    data, model, params = lv_setup
+    ts, X = np.asarray(data["ts"])[:40], np.asarray(data["X"])[:40]
+    cfg = HarnessConfig()
+    (ts_tr, X_tr), _, (ts_te, X_te) = time_ordered_split(ts, X, cfg)
+
+    rep = compare_models({"kan": (model, params)}, ts, X, cfg)
+    got = rep["kan"]["test_horizon"]["mse"]
+
+    # reproduce by hand: integrate from X_tr[-1] over [ts_tr[-1], *ts_te],
+    # score only the test rows
+    from kanodes_tpu.ode import odeint_fixed
+    ts_roll = jnp.asarray(np.concatenate([ts_tr[-1:], ts_te]))
+    pred = odeint_fixed(lambda t, u, p: model.apply(p, u),
+                        jnp.asarray(X_tr[-1]), ts_roll, params,
+                        solver="tsit5")
+    want = float(jnp.mean((pred[1:] - jnp.asarray(X_te)) ** 2))
+    assert got == pytest.approx(want, rel=1e-5)
+    # and the seeded-row-included value differs (first row is exact)
+    with_ic = float(jnp.mean(
+        (pred - jnp.concatenate([jnp.asarray(X_tr[-1:]),
+                                 jnp.asarray(X_te)])) ** 2))
+    assert with_ic < want  # including the free-match row deflates MSE
+
+
 def test_ensemble_seeds_cpu():
     from kanodes_tpu.experiments.sweep import ensemble_seeds
     res = ensemble_seeds(n=4, iters=80)
