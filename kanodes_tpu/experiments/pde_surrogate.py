@@ -109,21 +109,43 @@ def make_fns(cfg: SurrogateConfig, model: KANChain,
     interval_steps = [max(int(round((t_np[i + 1] - t_np[i]) / base_h)), 1)
                       for i in range(len(t_np) - 1)]
 
+    # is the whole snapshot trajectory a single uniform-dt step grid?
+    # (true for all three reference problems: snapshot spacings are exact
+    # multiples of base_h). If so, trajectory mode runs as ONE multistep
+    # kernel launch (fwd) + ONE (bwd) instead of one pair per interval.
+    uniform = all(abs(n * base_h - float(t_np[i + 1] - t_np[i])) < 1e-9
+                  for i, n in enumerate(interval_steps))
+    total_steps = int(sum(interval_steps))
+    snap_rows = np.cumsum(interval_steps) - 1   # post-step rows of ys
+
     impl = cfg.impl
     wide = model.in_dims * model.layers[0].grid_len > 2048
+    fused_trajectory = None
     if impl == "fused" and wide:
         # the standard fused kernel's O(I^2 G) expansion matrix exceeds
         # VMEM for wide states (Schrödinger's 402-dim input -> 44 MB);
         # use the input-blocked wide kernel instead (ops/rk_fused_wide)
-        from kanodes_tpu.ops.rk_fused_wide import wide_chain_adapter
-        _, _advance = wide_chain_adapter(model)
+        from kanodes_tpu.ops.kdense_pallas import fused_params
+        from kanodes_tpu.ops.rk_fused_wide import (wide_chain_adapter,
+                                                   fused_rk_multistep_wide)
+        ws, _advance = wide_chain_adapter(model)
 
         def fused_advance(params, x, n_steps, dt_total):
             return _advance(params, x, dt_total / n_steps, n_steps)
+
+        if uniform:
+            def fused_trajectory(params):
+                c1p, w1p, c2p, w2p = ws.pad_params(*fused_params(params))
+                xp = jnp.pad(u0[None], ((0, 0), (0, ws.Ipad - ws.I)))
+                ys = fused_rk_multistep_wide(ws, "tsit5", base_h,
+                                             total_steps, xp,
+                                             c1p, w1p, c2p, w2p)
+                return ys[snap_rows][:, 0, :ws.I]
     elif impl == "fused":
         from kanodes_tpu.ops.kdense_pallas import chain_spec_of, \
             fused_params
-        from kanodes_tpu.ops.rk_fused import fused_rk_step
+        from kanodes_tpu.ops.rk_fused import (fused_rk_step,
+                                              fused_rk_multistep)
         spec = chain_spec_of(model)
 
         def fused_advance(params, x, n_steps, dt_total):
@@ -136,8 +158,18 @@ def make_fns(cfg: SurrogateConfig, model: KANChain,
             x, _ = jax.lax.scan(body, x, None, length=n_steps)
             return x
 
+        if uniform:
+            def fused_trajectory(params):
+                fp = fused_params(params)
+                ys = fused_rk_multistep(spec, "tsit5", base_h,
+                                        total_steps, u0[None], *fp)
+                return ys[snap_rows][:, 0, :]
+
     def predict(params):
-        if impl == "fused":
+        if impl == "fused" and fused_trajectory is not None:
+            ys = jnp.concatenate([u0[None], fused_trajectory(params)],
+                                 axis=0)
+        elif impl == "fused":
             x = u0[None]
             rows = [x]
             for i, n in enumerate(interval_steps):

@@ -89,6 +89,66 @@ class TestSurrogateExperiments:
         out = run(cfg)
         assert np.isfinite(np.asarray(out["loss_history"])).all()
 
+    @pytest.mark.parametrize("problem,substeps,rtol", [
+        ("burgers", 4, 2e-5),        # narrow fused path
+        ("schrodinger", 2, 2e-4),    # wide (grid-sliced) fused path
+    ])
+    def test_fused_single_launch_trajectory_parity(self, problem, substeps,
+                                                   rtol):
+        """Trajectory mode runs the WHOLE snapshot horizon as one
+        multistep kernel launch; its rollout and loss-gradient must match
+        an XLA integration of the same uniform step grid exactly
+        (same RK steps, f32)."""
+        import dataclasses
+        from kanodes_tpu.experiments.pde_surrogate import (SurrogateConfig,
+                                                           make_data,
+                                                           make_model,
+                                                           make_fns)
+        from kanodes_tpu.ode import odeint_fixed
+        cfg = SurrogateConfig(problem=problem, substeps=substeps,
+                              impl="fused")
+        data = make_data(cfg)
+        model = make_model(cfg, data)
+        params = model.init(jax.random.PRNGKey(1))
+        params = jax.tree_util.tree_map(lambda a: a * 1e-2, params)
+        _, loss_f, pred_f = make_fns(cfg, model, data)
+
+        # reference: XLA tsit5 on the identical uniform dense grid
+        idx = {"burgers": [0, 10, 30, 50, 70, 90],
+               "schrodinger": [10, 30, 50, 70, 90, 110, 130, 150]}[problem]
+        t_np = np.asarray(data.ts[np.asarray(idx)], np.float64)
+        if idx[0] != 0:
+            t_np = np.concatenate([[0.0], t_np])
+        base_h = float(np.min(np.diff(t_np))) / substeps
+        steps = [int(round((t_np[i + 1] - t_np[i]) / base_h))
+                 for i in range(len(t_np) - 1)]
+        snap = np.cumsum(steps)                      # rows in dense grid
+        t_dense = jnp.asarray(np.arange(sum(steps) + 1) * base_h,
+                              jnp.float32)
+        u0 = jnp.asarray(data.X[0], jnp.float32)
+        X_snap = jnp.asarray(data.X[np.asarray(idx)], jnp.float32)
+
+        def dense_rollout(p):
+            ys = odeint_fixed(lambda t, u, pp: model.apply(pp, u), u0,
+                              t_dense, p, solver="tsit5", substeps=1)
+            return ys[snap] if idx[0] != 0 else jnp.concatenate(
+                [u0[None], ys[snap]], axis=0)
+
+        want = dense_rollout(params)
+        got = pred_f(params)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=rtol, atol=1e-6)
+
+        def loss_dense(p):
+            return jnp.mean((dense_rollout(p) - X_snap) ** 2)
+
+        gf = jax.grad(loss_f)(params)
+        gx = jax.grad(loss_dense)(params)
+        for a, b in zip(jax.tree_util.tree_leaves(gf),
+                        jax.tree_util.tree_leaves(gx)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-3, atol=1e-7)
+
     def test_schrodinger_loss_evaluates(self):
         # full training is heavy; assert one loss+grad step works
         from kanodes_tpu.experiments.pde_surrogate import (SurrogateConfig,
