@@ -152,15 +152,37 @@ def odeint_fixed(f: Callable, y0, ts: Array, args=None, *,
 
 @dataclasses.dataclass(frozen=True)
 class StepController:
+    """Proportional-integral step-size controller (Hairer-Wanner IV.2).
+
+    dt_next = dt * clip(safety * err^(-(icoeff+pcoeff)/order)
+                               * err_prev^(pcoeff/order))
+
+    The default (pcoeff=0) is the classic I-controller; `StepController.pi()`
+    gives the recommended PI pair for explicit embedded RK, which damps the
+    accept/reject oscillation on stiffer problems (err_prev is the error
+    norm of the last ACCEPTED step).
+    """
     safety: float = 0.9
     min_factor: float = 0.2
     max_factor: float = 10.0
     dt_min: float = 1e-10
+    pcoeff: float = 0.0       # proportional gain (0 -> pure I control)
+    icoeff: float = 1.0       # integral gain
 
-    def factor(self, err_nrm: Array, order: int) -> Array:
+    @classmethod
+    def pi(cls, **kw) -> "StepController":
+        """Recommended PI pair for explicit RK (beta1=0.7/k, beta2=0.4/k)."""
+        kw.setdefault("pcoeff", 0.4)
+        kw.setdefault("icoeff", 0.3)
+        return cls(**kw)
+
+    def factor(self, err_nrm: Array, order: int,
+               err_prev: Array | None = None) -> Array:
         # guard err == 0 -> max growth
         e = jnp.maximum(err_nrm, 1e-12)
-        fac = self.safety * e ** (-1.0 / order)
+        fac = self.safety * e ** (-(self.icoeff + self.pcoeff) / order)
+        if self.pcoeff != 0.0 and err_prev is not None:
+            fac = fac * jnp.maximum(err_prev, 1e-12) ** (self.pcoeff / order)
         return jnp.clip(fac, self.min_factor, self.max_factor)
 
 
@@ -243,7 +265,7 @@ def _adaptive_step(tab, f, args, rtol, atol, ctrl, ts, state,
     y1, err, k_last = rk_step(tab, f, t, y, tdir * dt_used, args, k1=k1)
     err_nrm = lax.stop_gradient(error_norm(err, y, y1, rtol, atol))
     accept = (err_nrm <= 1.0) | (dt_used <= ctrl.dt_min)
-    fac = ctrl.factor(err_nrm, tab.order)
+    fac = ctrl.factor(err_nrm, tab.order, state.get("err_prev"))
     dt_next = jnp.maximum(dt_used * fac, ctrl.dt_min)
 
     step_ok = accept & ~done
@@ -293,6 +315,9 @@ def _adaptive_step(tab, f, args, rtol, atol, ctrl, ts, state,
         "t": t_new, "y": y_new, "dt": jnp.where(done, dt, dt_next),
         "k1": k1_new, "save_idx": save_idx_new, "ys": ys_new,
         "done": done_new, "tdir": tdir,
+        # PI memory: error norm of the last ACCEPTED step
+        "err_prev": jnp.where(step_ok, jnp.maximum(err_nrm, 1e-12),
+                              state["err_prev"]),
         "n_accept": state["n_accept"] + step_ok.astype(jnp.int32),
         "n_reject": state["n_reject"] + (~accept & ~done).astype(jnp.int32),
         "n_iter": state["n_iter"] + (~done).astype(jnp.int32),
@@ -321,6 +346,7 @@ def _init_state(tab, f, y0, ts, args, rtol, atol, dt0):
         "t": t0, "y": y0, "dt": dt, "k1": k1,
         "save_idx": jnp.asarray(1, jnp.int32), "ys": ys,
         "done": jnp.asarray(T <= 1), "tdir": tdir,
+        "err_prev": jnp.asarray(1.0, jnp.result_type(ts)),
         "n_accept": jnp.asarray(0, jnp.int32),
         "n_reject": jnp.asarray(0, jnp.int32),
         "n_iter": jnp.asarray(0, jnp.int32),
@@ -380,6 +406,12 @@ def odeint(f: Callable, y0, ts: Array, args=None, *,
       "direct"    exact reverse AD through the (bounded-scan) adaptive loop;
       "direct_remat"  same gradients, O(1) stage-activation memory
                   (each controller step recomputed in the backward pass);
+      "interpolating"  diffrax-style checkpointed-interpolating adjoint:
+                  while_loop forward (early exit) recording each accepted
+                  step's Hermite data; backward integrates the adjoint ODE
+                  against the interpolated forward solution — stable on
+                  dissipative/stiff dynamics where backsolve diverges,
+                  cheaper than "direct" when max_steps is a loose bound;
       "backsolve" continuous adjoint custom_vjp (O(1) memory);
       "none"      while_loop, fastest, not differentiable.
 
@@ -395,9 +427,14 @@ def odeint(f: Callable, y0, ts: Array, args=None, *,
                          "(tsit5/dopri5/bs3)")
     ts = jnp.asarray(ts)
 
-    if dense and adjoint == "direct":
+    if dense and adjoint in ("direct", "interpolating"):
         raise ValueError("dense output is not reverse-differentiable; "
                          "use adjoint='none' or 'backsolve'")
+    if adjoint == "interpolating":
+        if return_stats:
+            raise ValueError("return_stats unsupported with interpolating")
+        return _odeint_interp(f, tab, rtol, atol, max_steps, controller,
+                              2, y0, ts, args)
     if adjoint == "none":
         st = _adaptive_while(tab, f, y0, ts, args, rtol, atol, dt0,
                              max_steps, controller, dense=dense)
@@ -436,6 +473,133 @@ def odeint_adjoint(f, y0, ts, args=None, **kw):
     """torchdiffeq `odeint_adjoint` equivalent (continuous backsolve)."""
     kw["adjoint"] = "backsolve"
     return odeint(f, y0, ts, args, **kw)
+
+
+# ---------------------------------------------------------------------------
+# interpolating adjoint — custom_vjp over a recorded forward solve
+# ---------------------------------------------------------------------------
+
+def _adaptive_while_record(tab, f, y0, ts, args, rtol, atol, dt0,
+                           max_steps, ctrl):
+    """Adaptive while_loop forward (early exit) that additionally records
+    every ACCEPTED step's cubic-Hermite data: (t0, t1, y0, y1, f0, f1)
+    plus the save index hit at the step end (-1 if none). The record is
+    what the interpolating adjoint integrates backwards over."""
+    state = _init_state(tab, f, y0, ts, args, rtol, atol, dt0)
+    zeros_t = jnp.zeros((max_steps,), jnp.result_type(ts))
+    buf = lambda: _tmap(
+        lambda x: jnp.zeros((max_steps,) + x.shape, x.dtype), y0)
+    rec = {"t0": zeros_t, "t1": zeros_t,
+           "y0": buf(), "y1": buf(), "f0": buf(), "f1": buf(),
+           "sidx": jnp.full((max_steps,), -1, jnp.int32)}
+
+    def cond(c):
+        s, _ = c
+        return (~s["done"]) & (s["n_iter"] < max_steps)
+
+    def body(c):
+        s, rec = c
+        t_prev, y_prev, k1_prev = s["t"], s["y"], s["k1"]
+        s2 = _adaptive_step(tab, f, args, rtol, atol, ctrl, ts, s)
+        accepted = s2["n_accept"] > s["n_accept"]
+        saved = s2["save_idx"] > s["save_idx"]
+        slot = s["n_accept"]          # accepted-step counter = record slot
+
+        def rec_scalar(b, v):
+            old = lax.dynamic_index_in_dim(b, slot, 0, keepdims=False)
+            return lax.dynamic_update_index_in_dim(
+                b, jnp.where(accepted, v, old), slot, 0)
+
+        def rec_tree(b, v):
+            return _tmap(rec_scalar, b, v)
+
+        rec = {"t0": rec_scalar(rec["t0"], t_prev),
+               "t1": rec_scalar(rec["t1"], s2["t"]),
+               "y0": rec_tree(rec["y0"], y_prev),
+               "y1": rec_tree(rec["y1"], s2["y"]),
+               "f0": rec_tree(rec["f0"], k1_prev),
+               "f1": rec_tree(rec["f1"], s2["k1"]),
+               "sidx": rec_scalar(
+                   rec["sidx"],
+                   jnp.where(saved, s["save_idx"], -1).astype(jnp.int32))}
+        return s2, rec
+
+    return lax.while_loop(cond, body, (state, rec))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _odeint_interp(f, tab, rtol, atol, max_steps, ctrl, bwd_substeps,
+                   y0, ts, args):
+    st, _ = _adaptive_while_record(tab, f, y0, ts, args, rtol, atol, None,
+                                   max_steps, ctrl)
+    return st["ys"]
+
+
+def _interp_fwd(f, tab, rtol, atol, max_steps, ctrl, bwd_substeps,
+                y0, ts, args):
+    st, rec = _adaptive_while_record(tab, f, y0, ts, args, rtol, atol,
+                                     None, max_steps, ctrl)
+    return st["ys"], (rec, st["n_accept"], ts, args)
+
+
+def _interp_bwd(f, tab, rtol, atol, max_steps, ctrl, bwd_substeps, res,
+                ys_bar):
+    """Integrate the adjoint ODE a' = -a df/dy backwards over each
+    recorded forward step, with y(t) supplied by the forward solution's
+    cubic Hermite interpolant (never re-simulated — stable for
+    dissipative systems where backsolve diverges). One `bwd_substeps`-
+    step RK solve of the same tableau per forward step; cotangents of
+    saved outputs are injected at the step boundaries they landed on
+    (the save-clipped forward guarantees saves ARE boundaries)."""
+    rec, n_acc, ts, args = res
+
+    def seg(carry, i):
+        a_y, a_args = carry
+        valid = i >= 0
+        j = jnp.maximum(i, 0)
+        t0 = rec["t0"][j]
+        t1 = rec["t1"][j]
+        y0v = _tmap(lambda b: b[j], rec["y0"])
+        y1v = _tmap(lambda b: b[j], rec["y1"])
+        f0 = _tmap(lambda b: b[j], rec["f0"])
+        f1 = _tmap(lambda b: b[j], rec["f1"])
+        sidx = rec["sidx"][j]
+
+        # inject the cotangent of the save point hit at this step's end
+        g = _tmap(lambda b: b[jnp.maximum(sidx, 0)], ys_bar)
+        a_y_in = _where_tree(valid & (sidx >= 0), _tmap(jnp.add, a_y, g),
+                             a_y)
+
+        def aug_dyn(t, a, _):
+            ay, _aargs = a
+            y_t = _hermite(t0, t1, y0v, y1v, f0, f1, t)
+
+            def fy(y_, args_):
+                return f(t, y_, args_)
+
+            _, vjp = jax.vjp(fy, y_t, args)
+            y_bar, args_bar = vjp(ay)
+            return (_tmap(jnp.negative, y_bar),
+                    _tmap(jnp.negative, args_bar))
+
+        h = (t0 - t1) / bwd_substeps
+        a = (a_y_in, a_args)
+        for k in range(bwd_substeps):
+            a, _, _ = rk_step(tab, aug_dyn, t1 + k * h, a, h, None)
+        return (_where_tree(valid, a[0], a_y_in),
+                _where_tree(valid, a[1], a_args)), None
+
+    a_y0 = _zeros_like(_tmap(lambda b: b[0], ys_bar))
+    a_args0 = _zeros_like(args)
+    # reverse order over the n_acc recorded steps (masked tail)
+    idxs = n_acc - 1 - jnp.arange(max_steps)
+    (a_y, a_args), _ = lax.scan(seg, (a_y0, a_args0), idxs)
+    g0 = _tmap(lambda b: b[0], ys_bar)
+    a_y = _tmap(jnp.add, a_y, g0)
+    return a_y, jnp.zeros_like(ts), a_args
+
+
+_odeint_interp.defvjp(_interp_fwd, _interp_bwd)
 
 
 # ---------------------------------------------------------------------------

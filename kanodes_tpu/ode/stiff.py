@@ -132,6 +132,7 @@ def _implicit_adaptive(f, y0, ts, args, rtol, atol, newton_iters,
         "t": ts[0], "y": y0, "dt": ts[1] - ts[0],
         "save_idx": jnp.asarray(1, jnp.int32), "ys": ys0,
         "done": jnp.asarray(T <= 1),
+        "err_prev": jnp.asarray(1.0, y0.dtype),
         "n_iter": jnp.asarray(0, jnp.int32),
         "n_reject": jnp.asarray(0, jnp.int32),
     }
@@ -149,7 +150,8 @@ def _implicit_adaptive(f, y0, ts, args, rtol, atol, newton_iters,
         enrm = error_norm(err, s["y"], y1, rtol, atol)
         accept = (enrm <= 1.0) & conv
         # Newton failure: halve; otherwise standard controller factor
-        fac = jnp.where(conv, ctrl.factor(enrm, KV3_ORDER), 0.5)
+        fac = jnp.where(conv, ctrl.factor(enrm, KV3_ORDER, s["err_prev"]),
+                        0.5)
         dt_next = jnp.maximum(dt_used * fac, ctrl.dt_min)
         accept = accept | (dt_used <= ctrl.dt_min)
 
@@ -166,6 +168,8 @@ def _implicit_adaptive(f, y0, ts, args, rtol, atol, newton_iters,
             "t": t_new, "y": y_new, "dt": dt_next,
             "save_idx": save_idx, "ys": ys_new,
             "done": save_idx >= T,
+            "err_prev": jnp.where(accept, jnp.maximum(enrm, 1e-12),
+                                  s["err_prev"]),
             "n_iter": s["n_iter"] + 1,
             "n_reject": s["n_reject"] + (~accept).astype(jnp.int32),
         }

@@ -102,6 +102,52 @@ def test_adaptive_tolerance_scaling():
     assert errs[1] < 1e-5
 
 
+def test_pi_controller_accuracy_and_defaults():
+    """PI beta-pair: pcoeff=0 reproduces the legacy I-controller exactly;
+    StepController.pi() solves to the same accuracy and does not inflate
+    the iteration count on a stiff-ish oscillatory problem."""
+    # Van der Pol (mu=5): stiff enough that an I-controller oscillates
+    def vdp(t, y, mu):
+        return jnp.stack([y[1], mu * ((1 - y[0] ** 2) * y[1]) - y[0]])
+
+    y0 = jnp.asarray([2.0, 0.0])
+    ts = jnp.asarray([0.0, 10.0])
+    mu = jnp.asarray(5.0)
+    ref = odeint_fixed(vdp, y0, ts, mu, solver="rk4", substeps=20_000)
+
+    # pcoeff=0 path is bit-identical to the pre-PI controller by
+    # construction: factor = safety * err^(-1/order)
+    i_ctrl = StepController()
+    assert i_ctrl.pcoeff == 0.0 and i_ctrl.icoeff == 1.0
+
+    results = {}
+    for name, ctrl in [("i", i_ctrl), ("pi", StepController.pi())]:
+        ys, stats = odeint(vdp, y0, ts, mu, rtol=1e-6, atol=1e-8,
+                           adjoint="none", max_steps=4096,
+                           controller=ctrl, return_stats=True)
+        assert bool(stats.success)
+        err = float(jnp.abs(ys[-1] - ref[-1]).max())
+        results[name] = (err, int(stats.n_iter), int(stats.n_reject))
+
+    assert results["pi"][0] < 1e-3 and results["i"][0] < 1e-3
+    # the PI pair must not be more rejection-prone than pure I control
+    assert results["pi"][2] <= results["i"][2]
+
+
+def test_pi_controller_differentiable_path():
+    """PI controller composes with the direct adjoint (gradient flows)."""
+    ts = jnp.linspace(0.0, 3.5, 8)
+
+    def loss(args):
+        ys = odeint(lv_rhs, LV_Y0, ts, args, rtol=1e-5, atol=1e-7,
+                    adjoint="direct", max_steps=256,
+                    controller=StepController.pi())
+        return jnp.sum(ys[-1] ** 2)
+
+    g = jax.grad(loss)(LV_ARGS)
+    assert bool(jnp.all(jnp.isfinite(g))) and float(jnp.abs(g).max()) > 0
+
+
 def test_backward_time_integration():
     ts = jnp.asarray([1.0, 0.0])
     ys = odeint(linear_rhs, jnp.asarray(jnp.e), ts, jnp.asarray(1.0),
@@ -245,6 +291,82 @@ def test_direct_remat_gradients_match_direct():
     g_d = jax.grad(loss("direct"))(args)
     g_r = jax.grad(loss("direct_remat"))(args)
     np.testing.assert_allclose(g_r, g_d, rtol=1e-5, atol=1e-8)
+
+
+def test_interpolating_adjoint_values_and_gradients():
+    """Interpolating adjoint: forward values equal the adjoint='none'
+    solve bit-for-bit (same while_loop); gradients match the exact
+    discrete adjoint within the continuous-adjoint discretization error."""
+    args = jnp.asarray([1.4, 1.1, 0.9, 2.8])
+    ts = jnp.linspace(0.0, 1.5, 6)
+    target = odeint_fixed(lv_rhs, LV_Y0, ts, LV_ARGS, solver="rk4",
+                          substeps=100)
+
+    ys_i = odeint(lv_rhs, LV_Y0, ts, args, rtol=1e-7, atol=1e-9,
+                  max_steps=512, adjoint="interpolating")
+    ys_n = odeint(lv_rhs, LV_Y0, ts, args, rtol=1e-7, atol=1e-9,
+                  max_steps=512, adjoint="none")
+    np.testing.assert_array_equal(np.asarray(ys_i), np.asarray(ys_n))
+
+    def loss(adjoint):
+        def f(a):
+            ys = odeint(lv_rhs, LV_Y0, ts, a, rtol=1e-7, atol=1e-9,
+                        max_steps=512, adjoint=adjoint)
+            return jnp.mean((ys - target) ** 2)
+        return f
+
+    g_i = jax.grad(loss("interpolating"))(args)
+    g_d = jax.grad(loss("direct"))(args)
+    np.testing.assert_allclose(g_i, g_d, rtol=1e-3, atol=1e-7)
+
+
+def test_interpolating_adjoint_y0_and_pytree_args():
+    ts = jnp.linspace(0.0, 1.0, 4)
+
+    def rhs(t, y, p):
+        return p["a"] * y + p["b"]
+
+    p = {"a": jnp.asarray(-0.5), "b": jnp.asarray(0.2)}
+
+    def loss(y0, p):
+        ys = odeint(rhs, y0, ts, p, rtol=1e-7, atol=1e-9,
+                    adjoint="interpolating")
+        return jnp.sum(ys ** 2)
+
+    (gy, gp) = jax.grad(loss, argnums=(0, 1))(jnp.asarray(1.0), p)
+    def loss_fix(y0, p):
+        ys = odeint_fixed(rhs, y0, ts, p, substeps=32)
+        return jnp.sum(ys ** 2)
+    (gy_f, gp_f) = jax.grad(loss_fix, argnums=(0, 1))(jnp.asarray(1.0), p)
+    np.testing.assert_allclose(float(gy), float(gy_f), rtol=1e-3)
+    np.testing.assert_allclose(float(gp["a"]), float(gp_f["a"]), rtol=1e-3)
+    np.testing.assert_allclose(float(gp["b"]), float(gp_f["b"]), rtol=1e-3)
+
+
+def test_interpolating_adjoint_stable_where_backsolve_diverges():
+    """Strongly dissipative linear system: re-simulating backwards (the
+    backsolve adjoint) amplifies error as exp(+lambda T); the
+    interpolating adjoint reads the stored forward solution instead and
+    stays accurate."""
+    lam = -40.0
+    ts = jnp.linspace(0.0, 2.0, 5)
+
+    def rhs(t, y, a):
+        return a * y
+
+    def mk_loss(adjoint):
+        def f(a):
+            ys = odeint(rhs, jnp.asarray(1.0), ts, a, rtol=1e-6,
+                        atol=1e-9, max_steps=2048, adjoint=adjoint)
+            return ys[-1]
+        return f
+
+    # d y(T) / d lambda = T exp(lambda T) ~ 2 e^-80 ~ 0: tiny but the
+    # interpolating estimate must be FINITE and near the direct value
+    g_i = jax.grad(mk_loss("interpolating"))(jnp.asarray(lam))
+    g_d = jax.grad(mk_loss("direct"))(jnp.asarray(lam))
+    assert bool(jnp.isfinite(g_i))
+    np.testing.assert_allclose(float(g_i), float(g_d), atol=1e-8)
 
 
 def test_truncated_adaptive_fills_with_last_state():
