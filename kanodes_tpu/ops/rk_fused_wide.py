@@ -185,11 +185,15 @@ def _chain_vjp_wide_dx(ws, x, y1, c1, w1, c2, w2, gsm, esm, ssm, gy,
     return dx, dy1, B, b2
 
 
-def _step_adjoint_wide(ws, tab, dt, needed, x, xbar, c1, w1, c2, w2,
-                       gsm, esm, ssm):
+def _step_adjoint_wide_collect(ws, tab, dt, needed, x, xbar, c1, w1, c2,
+                               w2, gsm, esm, ssm):
     """One-step discrete adjoint at input state x with output cotangent
-    xbar. Rebuilds the stages, runs the dx chain per stage, then batches
-    ALL stages' parameter cotangents into one GEMM per parameter."""
+    xbar — dx-chain only. Parameter cotangents are NOT formed; instead
+    the stacked GEMM operands are returned so the caller can batch them
+    across stages AND across steps:
+      returns (dx, (B [S*K, G*Ipad], b2 [S*K, H*G], D [S*K, H],
+                    Kc [S*K, Opad], swx [S*K, Ipad], swy1 [S*K, H]))
+    with dc1 = B^T D, dw1 = swx^T D, dc2 = b2^T Kc, dw2 = swy1^T Kc."""
     ks = [None] * tab.stages
     xs = [None] * tab.stages
     y1s = [None] * tab.stages
@@ -230,12 +234,30 @@ def _step_adjoint_wide(ws, tab, dt, needed, x, xbar, c1, w1, c2, w2,
                 contrib = (dt * tab.a[i][j]) * dxi
                 kbar[j] = contrib if kbar[j] is None else kbar[j] + contrib
 
-    D = jnp.concatenate(dy1s, axis=0)                  # [S*K, H]
-    Kc = jnp.concatenate(kbars, axis=0)                # [S*K, Opad]
-    dc1 = _dot_t0(jnp.concatenate(Bs, axis=0), D)
-    dw1 = _dot_t0(jnp.concatenate(swxs, axis=0), D)
-    dc2 = _dot_t0(jnp.concatenate(b2s, axis=0), Kc)
-    dw2 = _dot_t0(jnp.concatenate(swy1s, axis=0), Kc)
+    return dx, (jnp.concatenate(Bs, axis=0),
+                jnp.concatenate(b2s, axis=0),
+                jnp.concatenate(dy1s, axis=0),
+                jnp.concatenate(kbars, axis=0),
+                jnp.concatenate(swxs, axis=0),
+                jnp.concatenate(swy1s, axis=0))
+
+
+def _param_gemms(ops):
+    """(B, b2, D, Kc, swx, swy1) stacked over any number of stages/steps
+    -> (dc1, dw1, dc2, dw2) via four GEMMs."""
+    B, b2, D, Kc, swx, swy1 = ops
+    return (_dot_t0(B, D), _dot_t0(swx, D),
+            _dot_t0(b2, Kc), _dot_t0(swy1, Kc))
+
+
+def _step_adjoint_wide(ws, tab, dt, needed, x, xbar, c1, w1, c2, w2,
+                       gsm, esm, ssm):
+    """One-step discrete adjoint: dx-chain + per-step-batched parameter
+    GEMMs (single-step kernels; the multistep backward batches the GEMMs
+    across a WINDOW of steps instead)."""
+    dx, ops = _step_adjoint_wide_collect(ws, tab, dt, needed, x, xbar,
+                                         c1, w1, c2, w2, gsm, esm, ssm)
+    dc1, dw1, dc2, dw2 = _param_gemms(ops)
     return dx, dc1, dw1, dc2, dw2
 
 
@@ -372,31 +394,51 @@ def _wide_multistep_fwd_kernel(ws, tab, dt, needed, n_steps,
     jax.lax.fori_loop(0, n_steps, body, x_ref[:], unroll=False)
 
 
-def _wide_multistep_bwd_kernel(ws, tab, dt, needed, n_steps,
+def _bwd_window(n_steps: int, max_w: int = 8) -> int:
+    """Largest divisor of n_steps <= max_w (static window length for the
+    cross-step parameter-GEMM batching in the multistep backward)."""
+    for w in range(min(max_w, n_steps), 0, -1):
+        if n_steps % w == 0:
+            return w
+    return 1
+
+
+def _wide_multistep_bwd_kernel(ws, tab, dt, needed, n_steps, window,
                                x0_ref, ys_ref, c1_ref, w1_ref, c2_ref,
                                w2_ref, gsm_ref, esm_ref, ssm_ref, gys_ref,
                                dx_ref, dc1_ref, dw1_ref, dc2_ref, dw2_ref):
     """Reverse sweep over the stored per-step states (discrete adjoint),
-    folding in the cotangent of every saved state."""
+    folding in the cotangent of every saved state.
+
+    Steps are processed in unrolled windows of `window` (a divisor of
+    n_steps): the dx-chain stays sequential, but every window's parameter
+    cotangents are batched into FOUR GEMMs total — the per-step param
+    GEMMs are tiny-contraction/fixed-latency ops and dominated the
+    backward at window=1."""
     c1, w1, c2, w2 = c1_ref[:], w1_ref[:], c2_ref[:], w2_ref[:]
     gsm, esm, ssm = gsm_ref[:], esm_ref[:], ssm_ref[:]
 
-    def step_adjoint(x, xbar):
-        return _step_adjoint_wide(ws, tab, dt, needed, x, xbar,
-                                  c1, w1, c2, w2, gsm, esm, ssm)
-
-    def body(r, carry):
+    def body(wi, carry):
         xbar, dc1, dw1, dc2, dw2 = carry
-        s = n_steps - 1 - r
-        x_in = jnp.where(s == 0, x0_ref[:], ys_ref[jnp.maximum(s - 1, 0)])
-        xbar = xbar + gys_ref[s]
-        dx, dc1i, dw1i, dc2i, dw2i = step_adjoint(x_in, xbar)
-        return (dx, dc1 + dc1i, dw1 + dw1i, dc2 + dc2i, dw2 + dw2i)
+        ops_all = []
+        for u in range(window):
+            s = n_steps - 1 - (wi * window + u)
+            x_in = jnp.where(s == 0, x0_ref[:],
+                             ys_ref[jnp.maximum(s - 1, 0)])
+            xbar = xbar + gys_ref[s]
+            xbar, ops = _step_adjoint_wide_collect(
+                ws, tab, dt, needed, x_in, xbar, c1, w1, c2, w2,
+                gsm, esm, ssm)
+            ops_all.append(ops)
+        stacked = tuple(jnp.concatenate([o[i] for o in ops_all], axis=0)
+                        for i in range(6))
+        dc1i, dw1i, dc2i, dw2i = _param_gemms(stacked)
+        return (xbar, dc1 + dc1i, dw1 + dw1i, dc2 + dc2i, dw2 + dw2i)
 
     init = (jnp.zeros_like(x0_ref[:]), jnp.zeros_like(c1),
             jnp.zeros_like(w1), jnp.zeros_like(c2), jnp.zeros_like(w2))
-    dx, dc1, dw1, dc2, dw2 = jax.lax.fori_loop(0, n_steps, body, init,
-                                               unroll=False)
+    dx, dc1, dw1, dc2, dw2 = jax.lax.fori_loop(0, n_steps // window, body,
+                                               init, unroll=False)
     dx_ref[:] = dx
     dc1_ref[:] = dc1
     dw1_ref[:] = dw1
@@ -440,7 +482,8 @@ def _frmw_bwd(ws, solver, dt, n_steps, interpret, res, gys):
     itp = _interpret_default() if interpret is None else interpret
     gsm, esm, ssm = _wide_consts(ws)
     dx, dc1, dw1, dc2, dw2 = pl.pallas_call(
-        partial(_wide_multistep_bwd_kernel, ws, tab, dt, needed, n_steps),
+        partial(_wide_multistep_bwd_kernel, ws, tab, dt, needed, n_steps,
+                _bwd_window(n_steps)),
         out_shape=(
             jax.ShapeDtypeStruct(x0.shape, jnp.float32),
             jax.ShapeDtypeStruct(c1p.shape, jnp.float32),
