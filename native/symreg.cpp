@@ -259,6 +259,109 @@ void refine_constants(Genome& g, const Problem& p, Rng& rng, int iters) {
   }
 }
 
+// dense k x k linear solve (Gaussian elimination, partial pivoting);
+// returns false if singular
+bool solve_lin(std::vector<double> A, std::vector<double> b, int k,
+               std::vector<double>& x) {
+  for (int col = 0; col < k; ++col) {
+    int piv = col;
+    for (int r = col + 1; r < k; ++r)
+      if (std::fabs(A[r * k + col]) > std::fabs(A[piv * k + col])) piv = r;
+    if (std::fabs(A[piv * k + col]) < 1e-300) return false;
+    if (piv != col) {
+      for (int c = col; c < k; ++c) std::swap(A[piv * k + c], A[col * k + c]);
+      std::swap(b[piv], b[col]);
+    }
+    for (int r = col + 1; r < k; ++r) {
+      double f = A[r * k + col] / A[col * k + col];
+      for (int c = col; c < k; ++c) A[r * k + c] -= f * A[col * k + c];
+      b[r] -= f * b[col];
+    }
+  }
+  x.assign(k, 0.0);
+  for (int r = k - 1; r >= 0; --r) {
+    double s = b[r];
+    for (int c = r + 1; c < k; ++c) s -= A[r * k + c] * x[c];
+    x[r] = s / A[r * k + r];
+  }
+  for (int r = 0; r < k; ++r)
+    if (!std::isfinite(x[r])) return false;
+  return true;
+}
+
+// Levenberg-Marquardt refinement of the genome's constants: finite-
+// difference Jacobian + damped normal equations. Converges quadratically
+// near the optimum where the coordinate random search stalls — this is
+// what tightens "1.5017 x" toward "1.5 x" at equal cost.
+void refine_constants_lm(Genome& g, const Problem& p, int max_iters) {
+  std::vector<int> consts;
+  for (int i = 0; i < (int)g.size(); ++i)
+    if (g[i].op == CONST) consts.push_back(i);
+  if (consts.empty()) return;
+  const int k = (int)consts.size();
+
+  std::vector<double> out, outp, J((size_t)p.n * k);
+  if (!evaluate(g, p, out)) return;
+  auto mse_from = [&](const std::vector<double>& o) {
+    double s = 0;
+    for (int i = 0; i < p.n; ++i) {
+      double d = o[i] - p.y[i];
+      s += d * d;
+    }
+    return s / p.n;
+  };
+  double mse = mse_from(out);
+  double lambda = 1e-3;
+
+  for (int it = 0; it < max_iters && mse > 1e-28; ++it) {
+    bool ok = true;
+    for (int j = 0; j < k; ++j) {             // FD Jacobian column j
+      double old = g[consts[j]].value;
+      double h = 1e-6 * (std::fabs(old) + 1e-3);
+      g[consts[j]].value = old + h;
+      bool e = evaluate(g, p, outp);
+      g[consts[j]].value = old;
+      if (!e) { ok = false; break; }
+      for (int i = 0; i < p.n; ++i)
+        J[(size_t)i * k + j] = (outp[i] - out[i]) / h;
+    }
+    if (!ok) return;
+
+    std::vector<double> A((size_t)k * k, 0.0), bvec(k, 0.0);
+    for (int i = 0; i < p.n; ++i) {
+      double r = out[i] - p.y[i];
+      for (int a = 0; a < k; ++a) {
+        double Ja = J[(size_t)i * k + a];
+        bvec[a] -= Ja * r;
+        for (int b2 = a; b2 < k; ++b2)
+          A[a * k + b2] += Ja * J[(size_t)i * k + b2];
+      }
+    }
+    for (int a = 0; a < k; ++a)
+      for (int b2 = 0; b2 < a; ++b2) A[a * k + b2] = A[b2 * k + a];
+
+    bool improved = false;
+    for (int t = 0; t < 6 && !improved; ++t) {
+      std::vector<double> Ad = A, delta;
+      for (int a = 0; a < k; ++a)
+        Ad[a * k + a] += lambda * std::max(A[a * k + a], 1e-12);
+      if (!solve_lin(Ad, bvec, k, delta)) { lambda *= 10; continue; }
+      for (int j = 0; j < k; ++j) g[consts[j]].value += delta[j];
+      double m2 = evaluate(g, p, outp) ? mse_from(outp) : 1e300;
+      if (m2 < mse) {
+        mse = m2;
+        out = outp;
+        lambda = std::max(lambda / 3.0, 1e-12);
+        improved = true;
+      } else {
+        for (int j = 0; j < k; ++j) g[consts[j]].value -= delta[j];
+        lambda *= 4;
+      }
+    }
+    if (!improved) return;
+  }
+}
+
 std::string to_infix(const Genome& g) {
   std::vector<std::string> stack;
   char buf[64];
@@ -340,11 +443,13 @@ Genome run_gp(const Problem& p, int pop, int gens, unsigned seed,
     fit.swap(nfit);
     if (gen % 10 == 9) {
       Genome refined = best;
-      refine_constants(refined, p, rng, 60);
+      refine_constants(refined, p, rng, 30);   // rough: escape plateaus
+      refine_constants_lm(refined, p, 6);      // tight: quadratic local
       track(refined, fitness(refined, p));
     }
   }
-  refine_constants(best, p, rng, 400);
+  refine_constants(best, p, rng, 200);
+  refine_constants_lm(best, p, 30);
   return best;
 }
 
