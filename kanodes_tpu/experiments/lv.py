@@ -126,7 +126,13 @@ def make_model(cfg: LVConfig):
 def init_params(cfg: LVConfig, model, key=None):
     key = jax.random.PRNGKey(cfg.seed) if key is None else key
     params = model.init(key)
-    # near-zero start (reference: p = glorot/1e5, LV_driver_KANODE.jl:179)
+    # near-zero start (reference: p = glorot/1e5, LV_driver_KANODE.jl:179).
+    # The B-spline chain's knot "grid" entries are coordinate state, not
+    # weights — scaling them collapses the knot span and kills every
+    # basis gradient, so they are exempt.
+    if cfg.model == "bspline_kan":
+        return [{k: (v if k == "grid" else v * cfg.init_scale)
+                 for k, v in p.items()} for p in params]
     return jax.tree_util.tree_map(lambda x: x * cfg.init_scale, params)
 
 
@@ -318,6 +324,64 @@ def run(cfg: LVConfig | None = None, params=None, *,
         [jnp.asarray(prev_eval), out["eval_history"]])
     out.update(cfg=cfg, model=model, data=data, predict=predict)
     return out
+
+
+def run_grid_refinement(cfg: LVConfig | None = None, *,
+                        update_every: int = 500,
+                        verbose: bool = False) -> dict[str, Any]:
+    """efficient-kan `update_grid` cadence for the B-spline LV model:
+    train a block of iterations, refit every layer's knot grid to the
+    quantiles of its CURRENT inputs along the predicted train trajectory
+    (function-preserving lstsq refit), continue training — the reference
+    train loop's `model(x, update_grid=True)` rhythm
+    (`Lotka-Volterra-Pytorch/efficient_kan/efficientkan.py:263-266`).
+
+    Returns the usual run() dict plus `refits`: per-refit
+    (loss_before, loss_after) pairs — `loss_after ~ loss_before`
+    verifies the refit preserved the learned function while moving the
+    knots onto the data distribution.
+    """
+    cfg = cfg or LVConfig(model="bspline_kan", iters=3000, lr=2e-3,
+                          init_scale=1.0)
+    if cfg.model != "bspline_kan":
+        raise ValueError("grid refinement applies to the B-spline chain")
+    data = make_data(cfg)
+    model = make_model(cfg)
+    params = init_params(cfg, model)
+    loss_fn, eval_fn, predict = make_ode_fns(cfg, model, data)
+
+    n_blocks = max(cfg.iters // update_every, 1)
+    losses, evals, refits = [], [], []
+    best_loss, best_params = np.inf, params
+    for b in range(n_blocks):
+        out = train(loss_fn, params,
+                    TrainConfig(lr=cfg.lr, iters=update_every,
+                                eval_every=min(cfg.eval_every,
+                                               update_every),
+                                max_iters_per_call=cfg.max_iters_per_call),
+                    eval_fn=eval_fn)
+        params = out["params"]
+        losses.append(np.asarray(out["loss_history"]))
+        evals.append(np.asarray(out["eval_history"]))
+        if float(out["best_loss"]) < best_loss:
+            best_loss = float(out["best_loss"])
+            best_params = out["best_params"]
+        if b < n_blocks - 1:
+            # knots -> quantiles of the states the RHS actually sees
+            xs = predict(params, data["ts"][:data["n_train"]])
+            pre = float(loss_fn(params))
+            params = model.update_grids(params, xs)
+            post = float(loss_fn(params))
+            refits.append((pre, post))
+            if verbose:
+                print(f"[lv-grid] block {b}: refit loss {pre:.3e} -> "
+                      f"{post:.3e}", flush=True)
+    return {"params": params, "best_params": best_params,
+            "best_loss": best_loss,
+            "loss_history": jnp.asarray(np.concatenate(losses)),
+            "eval_history": jnp.asarray(np.concatenate(evals)),
+            "refits": refits, "cfg": cfg, "model": model, "data": data,
+            "predict": predict}
 
 
 if __name__ == "__main__":

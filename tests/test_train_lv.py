@@ -116,6 +116,43 @@ def test_lv_bspline_model_trains():
     assert np.isfinite(h).all() and h[-1] < h[0]
 
 
+def test_lv_bspline_default_init_keeps_grid():
+    """init_scale must not collapse the knot grid: with the default
+    near-zero init the spline branch must still have live gradients."""
+    from kanodes_tpu.experiments.lv import make_model, init_params, \
+        make_ode_fns
+    cfg = LVConfig(model="bspline_kan")          # default init_scale 1e-5
+    model = make_model(cfg)
+    params = init_params(cfg, model)
+    # knot span is the constructor's grid_range, not 1e-5 of it
+    assert float(params[0]["grid"].max()) > 0.5
+    data = make_data(cfg)
+    loss_fn, _, _ = make_ode_fns(cfg, model, data)
+    g = jax.grad(loss_fn)(params)
+    gnorm = sum(float(jnp.abs(x).sum()) for p in g
+                for k, x in p.items() if k == "coeff")
+    assert gnorm > 0.0                           # spline branch trainable
+
+
+def test_lv_grid_refinement_flow():
+    """Train -> update_grid -> keep training: knots move onto the data
+    distribution while the refit preserves the learned function."""
+    from kanodes_tpu.experiments.lv import run_grid_refinement
+    cfg = LVConfig(model="bspline_kan", iters=300, eval_every=100,
+                   lr=2e-3, init_scale=1.0)
+    out = run_grid_refinement(cfg, update_every=100)
+    h = np.asarray(out["loss_history"])
+    assert np.isfinite(h).all() and h[-1] < h[0]
+    assert len(out["refits"]) == 2
+    for pre, post in out["refits"]:
+        # lstsq refit is function-preserving up to projection error
+        assert post < max(2.0 * pre, pre + 1e-6)
+    # knots actually moved off the uniform init
+    g0 = make_model(cfg).init(jax.random.PRNGKey(cfg.seed))[0]["grid"]
+    g1 = out["params"][0]["grid"]
+    assert float(jnp.abs(g1 - g0).max()) > 1e-3
+
+
 def test_adaptive_vs_fixed_gradient_equivalence():
     """The adaptive (reference-faithful) training mode computes the same
     gradients as the fixed-grid fast path at matched integration
