@@ -38,7 +38,8 @@ from jax.experimental import pallas as pl
 
 from kanodes_tpu.ode.tableaus import Tableau, get_tableau
 from kanodes_tpu.ops.kdense_pallas import (ChainSpec, _interpret_default,
-                                           _layer_fwd, _layer_bwd)
+                                           _layer_fwd, _layer_bwd,
+                                           _swish, _dswish, _dnorm)
 
 Array = jax.Array
 
@@ -81,6 +82,57 @@ def _chain_vjp(x, y1, c1, w1, c2, w2, g1, g2, e1, e2, s1, s2, h, gy,
     dx, dc1, dw1 = _layer_bwd(x, c1, w1, g1, h, u1, b1, dy1, s1,
                               normalizer)
     return dx, dc1, dw1, dc2, dw2
+
+
+def _layer_bwd_dx(x, c, w, gflat, h, u, basis, gy, collapse,
+                  normalizer="tanh"):
+    """dx-path of _layer_bwd only (the parameter GEMMs are deferred)."""
+    m = jnp.dot(gy, c.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)   # [K, I*G]
+    dxn_rep = m * (-2.0 * u * basis) * (1.0 / h)
+    dxn = jnp.dot(dxn_rep, collapse,
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)           # [K, I]
+    return dxn * _dnorm(x, normalizer) + jnp.dot(
+        gy, w.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST) * _dswish(x)
+
+
+def _chain_vjp_collect(x, y1, c1, w1, c2, w2, g1, g2, e1, e2, s1, s2, h,
+                       gy, normalizer="tanh"):
+    """Chain VJP with DEFERRED parameter cotangents: returns
+    (dx, (b1, swx, dy1, b2, swy1, gy)) so the caller can batch
+      dc1 = b1^T dy1, dw1 = swx^T dy1, dc2 = b2^T gy, dw2 = swy1^T gy
+    across stages and steps (one GEMM each per window)."""
+    _, u2, b2 = _layer_fwd(y1, c2, w2, g2, h, e2, normalizer)
+    dy1 = _layer_bwd_dx(y1, c2, w2, g2, h, u2, b2, gy, s2, normalizer)
+    _, u1, b1 = _layer_fwd(x, c1, w1, g1, h, e1, normalizer)
+    dx = _layer_bwd_dx(x, c1, w1, g1, h, u1, b1, dy1, s1, normalizer)
+    return dx, (b1, _swish(x), dy1, b2, _swish(y1), gy)
+
+
+def _dot_t0(a, b):
+    """a^T @ b without materializing the transpose (contract dim 0)."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+
+
+def _chain_param_gemms(ops):
+    """(b1, swx, dy1, b2, swy1, gy) stacked over any number of
+    stages/steps -> (dc1, dw1, dc2, dw2)."""
+    b1, swx, dy1, b2, swy1, gy = ops
+    return (_dot_t0(b1, dy1), _dot_t0(swx, dy1),
+            _dot_t0(b2, gy), _dot_t0(swy1, gy))
+
+
+def _bwd_window(n_steps: int, max_w: int = 8) -> int:
+    """Largest divisor of n_steps <= max_w (static window length for the
+    cross-step parameter-GEMM batching in the multistep backward)."""
+    for w in range(min(max_w, n_steps), 0, -1):
+        if n_steps % w == 0:
+            return w
+    return 1
 
 
 def _step_fwd_kernel(spec, tab, dt, needed,
@@ -279,22 +331,27 @@ def _multistep_fwd_kernel(spec, tab, dt, needed, n_steps,
     jax.lax.fori_loop(0, n_steps, body, x_ref[:], unroll=False)
 
 
-def _multistep_bwd_kernel(spec, tab, dt, needed, n_steps,
+def _multistep_bwd_kernel(spec, tab, dt, needed, n_steps, window,
                           x0_ref, ys_ref, c1_ref, w1_ref, c2_ref, w2_ref,
                           g1_ref, g2_ref, e1_ref, e2_ref, s1_ref, s2_ref,
                           gys_ref,
                           dx_ref, dc1_ref, dw1_ref, dc2_ref, dw2_ref):
     """Reverse sweep over the stored states: for each step (backwards),
     rebuild the stages from the step's INPUT state and run the discrete
-    adjoint, accumulating parameter cotangents and folding in the output
-    cotangent gys[s] of every saved state."""
+    adjoint, folding in the output cotangent gys[s] of every saved state.
+
+    Steps run in unrolled windows of `window` (a divisor of n_steps):
+    the dx-chain is sequential, but each window's parameter cotangents
+    are batched into FOUR GEMMs total — the per-stage param GEMMs are
+    tiny fixed-latency ops and dominate the sequential chain otherwise."""
     c1, w1, c2, w2 = c1_ref[:], w1_ref[:], c2_ref[:], w2_ref[:]
     g1, g2, e1, e2 = g1_ref[:], g2_ref[:], e1_ref[:], e2_ref[:]
     s1, s2 = s1_ref[:], s2_ref[:]
 
-    def step_adjoint(x, xbar):
-        """One-step discrete adjoint at input state x with output
-        cotangent xbar; returns (dx, dc1, dw1, dc2, dw2)."""
+    def step_adjoint_collect(x, xbar):
+        """One-step discrete adjoint (dx-chain); parameter-GEMM operands
+        concatenated over the step's stages are returned for deferred
+        batching. Returns (dx, ops)."""
         ks = [None] * tab.stages
         xs = [None] * tab.stages
         y1s = [None] * tab.stages
@@ -313,41 +370,44 @@ def _multistep_bwd_kernel(spec, tab, dt, needed, n_steps,
         for i in range(tab.stages):
             if needed[i] and tab.b[i] != 0.0:
                 kbar[i] = (dt * tab.b[i]) * xbar
-        dc1 = jnp.zeros_like(c1)
-        dw1 = jnp.zeros_like(w1)
-        dc2 = jnp.zeros_like(c2)
-        dw2 = jnp.zeros_like(w2)
+        per_stage = []
         for i in range(tab.stages - 1, -1, -1):
             if not needed[i] or kbar[i] is None:
                 continue
-            dxi, dc1i, dw1i, dc2i, dw2i = _chain_vjp(
+            dxi, ops = _chain_vjp_collect(
                 xs[i], y1s[i], c1, w1, c2, w2, g1, g2, e1, e2, s1, s2,
                 spec.h, kbar[i], spec.normalizer)
+            per_stage.append(ops)
             dx = dx + dxi
-            dc1 = dc1 + dc1i
-            dw1 = dw1 + dw1i
-            dc2 = dc2 + dc2i
-            dw2 = dw2 + dw2i
             for j in range(i):
                 if tab.a[i][j] != 0.0 and needed[j]:
                     contrib = (dt * tab.a[i][j]) * dxi
                     kbar[j] = contrib if kbar[j] is None \
                         else kbar[j] + contrib
-        return dx, dc1, dw1, dc2, dw2
+        ops = tuple(jnp.concatenate([o[i] for o in per_stage], axis=0)
+                    for i in range(6))
+        return dx, ops
 
-    def body(r, carry):
+    def body(wi, carry):
         xbar, dc1, dw1, dc2, dw2 = carry
-        s = n_steps - 1 - r
-        # input state of step s: ys[s-1] (or x0 for the first step)
-        x_in = jnp.where(s == 0, x0_ref[:], ys_ref[jnp.maximum(s - 1, 0)])
-        xbar = xbar + gys_ref[s]
-        dx, dc1i, dw1i, dc2i, dw2i = step_adjoint(x_in, xbar)
-        return (dx, dc1 + dc1i, dw1 + dw1i, dc2 + dc2i, dw2 + dw2i)
+        ops_all = []
+        for u in range(window):
+            s = n_steps - 1 - (wi * window + u)
+            # input state of step s: ys[s-1] (or x0 for the first step)
+            x_in = jnp.where(s == 0, x0_ref[:],
+                             ys_ref[jnp.maximum(s - 1, 0)])
+            xbar = xbar + gys_ref[s]
+            xbar, ops = step_adjoint_collect(x_in, xbar)
+            ops_all.append(ops)
+        stacked = tuple(jnp.concatenate([o[i] for o in ops_all], axis=0)
+                        for i in range(6))
+        dc1i, dw1i, dc2i, dw2i = _chain_param_gemms(stacked)
+        return (xbar, dc1 + dc1i, dw1 + dw1i, dc2 + dc2i, dw2 + dw2i)
 
     init = (jnp.zeros_like(x0_ref[:]), jnp.zeros_like(c1),
             jnp.zeros_like(w1), jnp.zeros_like(c2), jnp.zeros_like(w2))
-    dx, dc1, dw1, dc2, dw2 = jax.lax.fori_loop(0, n_steps, body, init,
-                                               unroll=False)
+    dx, dc1, dw1, dc2, dw2 = jax.lax.fori_loop(0, n_steps // window, body,
+                                               init, unroll=False)
     dx_ref[:] = dx
     dc1_ref[:] = dc1
     dw1_ref[:] = dw1
@@ -389,7 +449,8 @@ def _frm_bwd(spec, solver, dt, n_steps, interpret, res, gys):
     itp = _interpret_default() if interpret is None else interpret
     g1, g2, e1, e2, s1, s2 = _consts(spec)
     dx, dc1, dw1, dc2, dw2 = pl.pallas_call(
-        partial(_multistep_bwd_kernel, spec, tab, dt, needed, n_steps),
+        partial(_multistep_bwd_kernel, spec, tab, dt, needed, n_steps,
+                _bwd_window(n_steps)),
         out_shape=(
             jax.ShapeDtypeStruct(x0.shape, jnp.float32),
             jax.ShapeDtypeStruct(c1.shape, jnp.float32),

@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 from kanodes_tpu.ode.tableaus import get_tableau
 from kanodes_tpu.ops.kdense_pallas import (ChainSpec, _interpret_default,
                                            _norm, _dnorm, _swish, _dswish)
-from kanodes_tpu.ops.rk_fused import _needed_stages
+from kanodes_tpu.ops.rk_fused import _needed_stages, _bwd_window
 
 Array = jax.Array
 
@@ -392,15 +392,6 @@ def _wide_multistep_fwd_kernel(ws, tab, dt, needed, n_steps,
         return y
 
     jax.lax.fori_loop(0, n_steps, body, x_ref[:], unroll=False)
-
-
-def _bwd_window(n_steps: int, max_w: int = 8) -> int:
-    """Largest divisor of n_steps <= max_w (static window length for the
-    cross-step parameter-GEMM batching in the multistep backward)."""
-    for w in range(min(max_w, n_steps), 0, -1):
-        if n_steps % w == 0:
-            return w
-    return 1
 
 
 def _wide_multistep_bwd_kernel(ws, tab, dt, needed, n_steps, window,
