@@ -50,6 +50,60 @@ def replicate(tree, mesh: Mesh):
         lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
 
 
+def dp_value_and_grad(per_shard_loss: Callable, mesh: Mesh,
+                      axis: str | tuple[str, ...] = "dp"):
+    """Classic synchronized data parallelism: the BATCH (shooting
+    segments, collocation points, PDE snapshots) is sharded over `axis`;
+    every device computes its shard's loss/gradient and the results are
+    psum-reduced, so the returned (loss, grads) equal the full-batch
+    values exactly — one model, N-way batch scale-out.
+
+    `axis` may be a tuple for hierarchical meshes, e.g. ("host", "chip")
+    with the host axis riding DCN and the chip axis ICI: XLA lowers the
+    psum to an intra-host reduce + cross-host all-reduce of the small
+    parameter pytree (the only cross-host traffic per step).
+
+    per_shard_loss: (params, batch_shard) -> (loss_SUM, n_examples);
+    returning the shard SUM and count (not the mean) keeps the global
+    mean exact for uneven shards.
+    Returns f(params, batch) -> (loss, grads) with params replicated and
+    batch leading-axis sharded.
+    """
+    names = (axis,) if isinstance(axis, str) else tuple(axis)
+    spec = P(names if len(names) > 1 else names[0])
+
+    def local(params, batch):
+        # differentiate THROUGH the psum'd global mean: shard_map's
+        # vma-aware reverse AD then auto-inserts the one gradient psum
+        # (params are replicated inputs, so their cotangent must be) —
+        # adding a manual psum on top would multiply by the axis size
+        def global_mean(p):
+            lsum, n = per_shard_loss(p, batch)
+            return jax.lax.psum(lsum, names) / jax.lax.psum(n, names)
+
+        return jax.value_and_grad(global_mean)(params)
+
+    return jax.shard_map(local, mesh=mesh, in_specs=(P(), spec),
+                         out_specs=(P(), P()))
+
+
+def dp_train_step(per_shard_loss: Callable, optimizer, mesh: Mesh,
+                  axis: str | tuple[str, ...] = "dp"):
+    """Jitted synchronized-DP Adam/optax step over a sharded batch:
+    (params, opt_state, batch) -> (params, opt_state, loss). Gradients
+    are exact full-batch gradients (see dp_value_and_grad)."""
+    import optax
+
+    vg = dp_value_and_grad(per_shard_loss, mesh, axis)
+
+    def step(params, opt_state, batch):
+        loss, grads = vg(params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return jax.jit(step)
+
+
 def ensemble_train_step(loss_fn: Callable, optimizer, mesh: Mesh,
                         axis: str = "dp"):
     """Build a sharded ensemble step: params/opt_state lead with a member

@@ -139,6 +139,57 @@ def test_ensemble_train_step():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("axes,shape", [
+    (("dp",), (8,)),                    # flat 8-way DP
+    (("host", "chip"), (2, 4)),         # hierarchical DCN x ICI mesh
+])
+def test_dp_grad_parity(axes, shape):
+    """Synchronized data parallelism: the sharded loss/gradients must
+    equal the full-batch values exactly — on a flat mesh and on a
+    hierarchical host x chip mesh (the multi-host DP shape)."""
+    from kanodes_tpu.parallel.sharding import (make_mesh, dp_value_and_grad,
+                                               dp_train_step)
+    import optax
+    mesh = make_mesh(8, axes, shape=shape)
+    model = KDense(2, 2, grid_len=5)
+    params = model.init(jax.random.PRNGKey(0))
+
+    # LV-style shooting batch: segments of (start, target) pairs
+    rng = np.random.default_rng(0)
+    starts = jnp.asarray(rng.uniform(0.5, 2.0, (16, 2)), jnp.float32)
+    targets = starts + 0.05
+
+    def per_shard_loss(p, shard):
+        s, t = shard
+        pred = s + 0.1 * model.apply(p, s)        # one Euler step
+        return jnp.sum((pred - t) ** 2), jnp.asarray(s.shape[0],
+                                                     jnp.float32)
+
+    axis = axes if len(axes) > 1 else axes[0]
+    vg = dp_value_and_grad(per_shard_loss, mesh, axis)
+    with mesh:
+        l_dp, g_dp = jax.jit(vg)(params, (starts, targets))
+
+    def full_loss(p):
+        s, n = per_shard_loss(p, (starts, targets))
+        return s / n
+
+    l_f, g_f = jax.value_and_grad(full_loss)(params)
+    np.testing.assert_allclose(float(l_dp), float(l_f), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_dp),
+                    jax.tree_util.tree_leaves(g_f)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+    # one full optimizer step runs and descends
+    opt = optax.adam(1e-2)
+    step = dp_train_step(per_shard_loss, opt, mesh, axis)
+    with mesh:
+        p2, s2, loss0 = step(params, opt.init(params), (starts, targets))
+        _, _, loss1 = step(p2, s2, (starts, targets))
+    assert float(loss1) < float(loss0)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_sharded_dirichlet_laplacian_matches_local():
     from kanodes_tpu.pde.sharded import sharded_laplacian_dirichlet
     mesh = _mesh_sp()
