@@ -77,6 +77,9 @@ class LVConfig:
     rtol: float = 1e-6
     atol: float = 1e-8
     max_steps: int = 256
+    # adaptive-mode differentiation strategy: direct | direct_remat |
+    # interpolating | backsolve (ode/integrate.odeint adjoints)
+    adjoint: str = "direct"
     # xla: plain jnp RHS | pallas: fused chain-RHS kernel | fused:
     # whole-RK-step kernels (fastest; fixed/shooting modes only)
     impl: str = "xla"
@@ -172,7 +175,7 @@ def make_ode_fns(cfg: LVConfig, model, data):
             ms = max(cfg.max_steps, 2 * int(t_grid.shape[0]))
             return odeint(rhs, u0, t_grid, params, solver="tsit5",
                           rtol=cfg.rtol, atol=cfg.atol,
-                          max_steps=ms, adjoint="direct")
+                          max_steps=ms, adjoint=cfg.adjoint)
         if use_fused:
             from kanodes_tpu.ops.kdense_pallas import fused_params
             from kanodes_tpu.ops.rk_fused import fused_rk_multistep

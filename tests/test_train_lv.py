@@ -116,6 +116,16 @@ def test_lv_bspline_model_trains():
     assert np.isfinite(h).all() and h[-1] < h[0]
 
 
+def test_lv_adaptive_interpolating_adjoint_trains():
+    """cfg.adjoint selects the adaptive-mode differentiation strategy;
+    the interpolating adjoint must train (finite, descending)."""
+    cfg = LVConfig(iters=150, eval_every=150, solve_mode="adaptive",
+                   adjoint="interpolating", lr=2e-3, init_scale=1e-2)
+    out = run(cfg)
+    h = np.asarray(out["loss_history"])
+    assert np.isfinite(h).all() and h[-1] < h[0]
+
+
 def test_lv_bspline_default_init_keeps_grid():
     """init_scale must not collapse the knot grid: with the default
     near-zero init the spline branch must still have live gradients."""
