@@ -3,13 +3,17 @@
 Matches the reference's budget — 1e5 training iterations, Adam 1e-3
 (`Schrodinger_Surrogate.jl:170-173`), KAN [402,10,402] grid 10, 8
 snapshots — on the TPU-native path: snapshot-shooting warmup then
-trajectory polish, both on the wide-state fused MULTISTEP kernels (one
-Pallas launch per 20/40-step segment solve instead of one per RK step).
+trajectory polish, both on the wide-state fused MULTISTEP kernels
+(windowed cross-step backward; the trajectory phase is a single
+whole-horizon kernel launch per iteration).
+
+Phases that share a solve_mode share ONE set of loss closures, so the
+train() chunk memo + injected learning rate make every phase after the
+first a compile-cache hit.
 
 Resumable at phase granularity via artifacts/schrodinger_full.json.
 """
 
-import dataclasses
 import json
 import os
 import sys
@@ -26,7 +30,8 @@ import numpy as np
 
 from kanodes_tpu.experiments.pde_surrogate import (SurrogateConfig,
                                                    make_data, make_model,
-                                                   make_fns, run)
+                                                   make_fns)
+from kanodes_tpu.train.loop import TrainConfig, train
 
 OUT = "artifacts/schrodinger_full.json"
 PHASES = [
@@ -38,13 +43,22 @@ PHASES = [
 
 base = SurrogateConfig(problem="schrodinger", impl="fused",
                        max_iters_per_call=2_000, eval_every=500)
+data = make_data(base)
+model = make_model(base, data)
+
+# one fns set per solve_mode, shared across phases (jit-chunk reuse)
+_fns = {}
+for mode in {m for m, _, _ in PHASES}:
+    import dataclasses
+    cfg_m = dataclasses.replace(base, solve_mode=mode)
+    _fns[mode] = make_fns(cfg_m, model, data)
 
 state = {"phases_done": 0, "history": []}
 if os.path.exists(OUT):
     with open(OUT) as f:
         state = json.load(f)
 
-params = None
+params = model.init(jax.random.PRNGKey(base.seed))
 if state["phases_done"] > 0:
     params = jax.tree_util.tree_map(
         jnp.asarray, np.load("artifacts/schrodinger_full_params.npy",
@@ -54,10 +68,12 @@ t_all = time.time()
 for pi, (mode, lr, iters) in enumerate(PHASES):
     if pi < state["phases_done"]:
         continue
-    cfg = dataclasses.replace(base, solve_mode=mode, lr=lr, iters=iters)
+    train_loss, eval_loss, _ = _fns[mode]
+    tc = TrainConfig(lr=lr, iters=iters, eval_every=base.eval_every,
+                     max_iters_per_call=base.max_iters_per_call)
     print(f"[schr] phase {pi}: {mode} lr={lr} iters={iters}", flush=True)
     t0 = time.time()
-    out = run(cfg, params=params)
+    out = train(train_loss, params, tc, eval_fn=eval_loss)
     jax.block_until_ready(out["loss_history"])
     dt = time.time() - t0
     params = out["params"]
