@@ -35,10 +35,13 @@ from kanodes_tpu.train.loop import TrainConfig, train
 
 OUT = "artifacts/schrodinger_full.json"
 PHASES = [
-    # (solve_mode, lr, iters) — 1e5 total, reference Adam-1e-3 regime
+    # (solve_mode, lr, iters) — 1e5 total, reference Adam-1e-3 regime.
+    # Continuation lrs are small: phase 0 already converges to ~2e-11
+    # train loss, and Adam's normalized steps wander a converged
+    # minimum by ~lr even with optimizer-state continuity.
     ("shooting", 1e-3, 50_000),
-    ("shooting", 3e-4, 30_000),
-    ("fixed", 1e-4, 20_000),
+    ("shooting", 1e-4, 30_000),
+    ("fixed", 3e-5, 20_000),
 ]
 
 base = SurrogateConfig(problem="schrodinger", impl="fused",
@@ -65,23 +68,45 @@ if state["phases_done"] > 0:
                              allow_pickle=True).item())
 
 t_all = time.time()
+opt_state = None
+prev_mode = None
+best = {"snapshot_mse": float("inf"), "params": None}
 for pi, (mode, lr, iters) in enumerate(PHASES):
     if pi < state["phases_done"]:
+        prev_mode = mode
         continue
     train_loss, eval_loss, _ = _fns[mode]
     tc = TrainConfig(lr=lr, iters=iters, eval_every=base.eval_every,
                      max_iters_per_call=base.max_iters_per_call)
+    # optimizer-state CONTINUITY across same-objective phases: a fresh
+    # Adam restart at a lower lr shocks the model out of a converged
+    # minimum (measured: 2.1e-10 -> 4.6e-6 on the phase-0/1 boundary).
+    # The injected lr lives in opt_state.hyperparams, so the schedule
+    # change is a state update, not a recompile.
+    if opt_state is not None and mode == prev_mode:
+        opt_state = opt_state._replace(hyperparams={
+            **opt_state.hyperparams,
+            "learning_rate": jnp.asarray(lr, jnp.float32)})
+    else:
+        opt_state = None
     print(f"[schr] phase {pi}: {mode} lr={lr} iters={iters}", flush=True)
     t0 = time.time()
-    out = train(train_loss, params, tc, eval_fn=eval_loss)
+    out = train(train_loss, params, tc, eval_fn=eval_loss,
+                opt_state=opt_state)
     jax.block_until_ready(out["loss_history"])
     dt = time.time() - t0
     params = out["params"]
+    opt_state = out["opt_state"]
+    prev_mode = mode
     snap_mse = float(out["eval_history"][-1])
+    # global best across phases, by the SNAPSHOT metric
+    snap_best = float(jnp.min(out["eval_history"]))
+    if snap_mse < best["snapshot_mse"]:
+        best = {"snapshot_mse": snap_mse, "params": params}
     rec = {"phase": pi, "mode": mode, "lr": lr, "iters": iters,
            "wall_s": round(dt, 1), "it_per_s": round(iters / dt, 1),
            "train_loss": float(out["loss_history"][-1]),
-           "snapshot_mse": snap_mse}
+           "snapshot_mse": snap_mse, "snapshot_mse_best": snap_best}
     print(json.dumps(rec), flush=True)
     state["history"].append(rec)
     state["phases_done"] = pi + 1
@@ -94,7 +119,16 @@ for pi, (mode, lr, iters) in enumerate(PHASES):
 
 state["total_wall_s_last_launch"] = round(time.time() - t_all, 1)
 state["total_iters"] = sum(p[2] for p in PHASES)
+state["best_snapshot_mse"] = min(
+    [h.get("snapshot_mse_best", h["snapshot_mse"])
+     for h in state["history"]] + [float("inf")])
 with open(OUT, "w") as f:
     json.dump(state, f, indent=1)
+if best["params"] is not None:
+    arr = np.empty((), dtype=object)
+    arr[()] = jax.tree_util.tree_map(np.asarray, best["params"])
+    np.save("artifacts/schrodinger_full_best_params.npy", arr,
+            allow_pickle=True)
 print(json.dumps({"final_snapshot_mse": state["history"][-1]["snapshot_mse"],
+                  "best_snapshot_mse": state["best_snapshot_mse"],
                   "total_iters": state["total_iters"]}))
