@@ -1,23 +1,27 @@
-"""Full-budget Schrödinger surrogate run (VERDICT round-1 #3).
+"""Full-reference-budget PDE surrogate runs (usage:
+`python scripts/surrogate_full.py [schrodinger|allen_cahn|burgers]`).
 
-Matches the reference's budget — 1e5 training iterations, Adam 1e-3
-(`Schrodinger_Surrogate.jl:170-173`), KAN [402,10,402] grid 10, 8
-snapshots — on the TPU-native path: snapshot-shooting warmup then
-trajectory polish, both on the wide-state fused MULTISTEP kernels
-(windowed cross-step backward; the trajectory phase is a single
-whole-horizon kernel launch per iteration).
+Matches each problem's reference budget (1e5 iters for Schrödinger /
+Allen-Cahn, 2e4 for Burgers — `Schrodinger_Surrogate.jl:170-173`,
+`Allen-Cahn_Surrogate.jl:82-87`, `Burgers_Surrogate.jl:82-88`) on the
+TPU-native path: snapshot-shooting warmup then trajectory polish, on
+the fused MULTISTEP kernels (windowed cross-step backward; trajectory
+mode is one whole-horizon kernel launch per iteration).
 
 Phases that share a solve_mode share ONE set of loss closures, so the
 train() chunk memo + injected learning rate make every phase after the
-first a compile-cache hit.
+first a compile-cache hit; optimizer state is carried across same-mode
+phases (a fresh Adam restart shocks a converged minimum).
 
-Resumable at phase granularity via artifacts/schrodinger_full.json.
+Resumable at phase granularity via artifacts/<problem>_full.json.
 """
 
 import json
 import os
 import sys
 import time
+
+PROBLEM = sys.argv[1] if len(sys.argv) > 1 else "schrodinger"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -33,18 +37,27 @@ from kanodes_tpu.experiments.pde_surrogate import (SurrogateConfig,
                                                    make_fns)
 from kanodes_tpu.train.loop import TrainConfig, train
 
-OUT = "artifacts/schrodinger_full.json"
-PHASES = [
-    # (solve_mode, lr, iters) — 1e5 total, reference Adam-1e-3 regime.
-    # Continuation lrs are small: phase 0 already converges to ~2e-11
-    # train loss, and Adam's normalized steps wander a converged
-    # minimum by ~lr even with optimizer-state continuity.
-    ("shooting", 1e-3, 50_000),
-    ("shooting", 1e-4, 30_000),
-    ("fixed", 3e-5, 20_000),
-]
+OUT = f"artifacts/{PROBLEM}_full.json"
+PARAMS_NPY = f"artifacts/{PROBLEM}_full_params.npy"
+BEST_NPY = f"artifacts/{PROBLEM}_full_best_params.npy"
+# (solve_mode, lr, iters) — 1e5 total, the reference Adam regime
+# (Schrodinger_Surrogate.jl:170 lr 1e-3; Allen-Cahn/Burgers 1e-2).
+# Continuation lrs are small: phase 0 already converges near the f32
+# loss floor, and Adam's normalized steps wander a converged minimum
+# by ~lr even with optimizer-state continuity.
+PHASES_BY_PROBLEM = {
+    "schrodinger": [("shooting", 1e-3, 50_000),
+                    ("shooting", 1e-4, 30_000),
+                    ("fixed", 3e-5, 20_000)],
+    "allen_cahn": [("shooting", 1e-2, 50_000),
+                   ("shooting", 1e-3, 30_000),
+                   ("fixed", 3e-4, 20_000)],
+    "burgers": [("shooting", 1e-2, 10_000),    # reference budget 2e4
+                ("fixed", 1e-3, 10_000)],
+}
+PHASES = PHASES_BY_PROBLEM[PROBLEM]
 
-base = SurrogateConfig(problem="schrodinger", impl="fused",
+base = SurrogateConfig(problem=PROBLEM, impl="fused",
                        max_iters_per_call=2_000, eval_every=500)
 data = make_data(base)
 model = make_model(base, data)
@@ -64,7 +77,7 @@ if os.path.exists(OUT):
 params = model.init(jax.random.PRNGKey(base.seed))
 if state["phases_done"] > 0:
     params = jax.tree_util.tree_map(
-        jnp.asarray, np.load("artifacts/schrodinger_full_params.npy",
+        jnp.asarray, np.load(PARAMS_NPY,
                              allow_pickle=True).item())
 
 t_all = time.time()
@@ -89,7 +102,7 @@ for pi, (mode, lr, iters) in enumerate(PHASES):
             "learning_rate": jnp.asarray(lr, jnp.float32)})
     else:
         opt_state = None
-    print(f"[schr] phase {pi}: {mode} lr={lr} iters={iters}", flush=True)
+    print(f"[{PROBLEM}] phase {pi}: {mode} lr={lr} iters={iters}", flush=True)
     t0 = time.time()
     out = train(train_loss, params, tc, eval_fn=eval_loss,
                 opt_state=opt_state)
@@ -112,8 +125,7 @@ for pi, (mode, lr, iters) in enumerate(PHASES):
     state["phases_done"] = pi + 1
     arr = np.empty((), dtype=object)
     arr[()] = jax.tree_util.tree_map(np.asarray, params)
-    np.save("artifacts/schrodinger_full_params.npy", arr,
-            allow_pickle=True)
+    np.save(PARAMS_NPY, arr, allow_pickle=True)
     with open(OUT, "w") as f:
         json.dump(state, f, indent=1)
 
@@ -127,8 +139,7 @@ with open(OUT, "w") as f:
 if best["params"] is not None:
     arr = np.empty((), dtype=object)
     arr[()] = jax.tree_util.tree_map(np.asarray, best["params"])
-    np.save("artifacts/schrodinger_full_best_params.npy", arr,
-            allow_pickle=True)
+    np.save(BEST_NPY, arr, allow_pickle=True)
 print(json.dumps({"final_snapshot_mse": state["history"][-1]["snapshot_mse"],
                   "best_snapshot_mse": state["best_snapshot_mse"],
                   "total_iters": state["total_iters"]}))
