@@ -67,6 +67,14 @@ def _load():
             ctypes.c_double, ctypes.c_char_p,
             ctypes.c_int, ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_int)]
+        lib.symreg_fit_pareto.restype = ctypes.c_int
+        lib.symreg_fit_pareto.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int, ctypes.c_int, ctypes.c_uint, ctypes.c_int,
+            ctypes.c_int, ctypes.c_uint, ctypes.c_double, ctypes.c_int,
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int)]
         _lib = lib
         return lib
 
@@ -131,6 +139,52 @@ def fit_expression(x: np.ndarray, y: np.ndarray,
     if rc != 0:
         return _poly_fallback(x, y)
     return SymbolicFit(buf.value.decode(), mse.value, size.value)
+
+
+def fit_pareto(x: np.ndarray, y: np.ndarray,
+               ops: tuple[str, ...] = DEFAULT_OPS,
+               population: int = 512, generations: int = 200,
+               parsimony: float = 1e-3, seed: int = 0,
+               restarts: int = 3,
+               max_front: int = 32) -> list[SymbolicFit]:
+    """ONE multi-restart GP search returning the whole Pareto front —
+    the best (LM-refined) expression at each complexity, dominated
+    entries pruned. The engine-side hall of fame that PySR/SRRegressor
+    model selection reads (`Symbolic_reg.jl:150` + its `best(...)`
+    call); `compact_fit` selects from it in one search instead of the
+    former 3-searches-at-3-parsimonies sweep."""
+    x = np.asarray(x, np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    y = np.asarray(y, np.float64).ravel()
+    n, d = x.shape
+    assert y.shape[0] == n
+    mask = 0
+    for o in ops:
+        mask |= OPS_BITS[o]
+
+    try:
+        lib = _load()
+    except (OSError, subprocess.CalledProcessError):
+        return [_poly_fallback(x, y)]
+
+    xc = np.ascontiguousarray(x)
+    yc = np.ascontiguousarray(y)
+    buf = ctypes.create_string_buffer(16384)
+    mses = (ctypes.c_double * max_front)()
+    sizes = (ctypes.c_int * max_front)()
+    count = ctypes.c_int(0)
+    rc = lib.symreg_fit_pareto(
+        xc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        yc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n, d, mask, population, generations, seed, parsimony,
+        restarts, max_front, buf, len(buf),
+        mses, sizes, ctypes.byref(count))
+    if rc != 0:
+        return [_poly_fallback(x, y)]
+    exprs = buf.value.decode().split("\n")
+    return [SymbolicFit(e, mses[i], sizes[i])
+            for i, e in enumerate(exprs[:count.value])]
 
 
 def _poly_fallback(x: np.ndarray, y: np.ndarray,

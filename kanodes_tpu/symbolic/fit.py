@@ -83,23 +83,22 @@ def fit_edge_activations(chain, params, x, *, ops=("+", "-", "*", "/"),
 
 def compact_fit(x: np.ndarray, y: np.ndarray, *,
                 ops=("+", "-", "*"), generations: int = 250,
-                seed: int = 0, parsimonies=(1e-3, 3e-2, 3e-1),
-                **kw) -> SymbolicFit:
-    """Pareto-style selection: fit at several parsimony pressures and
-    return the SHORTEST expression whose MSE is within a tolerance band
-    of the best (overfitting a learned model's approximation error with
-    a huge genome is noise, not physics)."""
+                seed: int = 0, **kw) -> SymbolicFit:
+    """Pareto selection: ONE GP search returns the engine's per-size
+    hall of fame (`engine.fit_pareto`), and the SHORTEST front member
+    whose MSE is within a tolerance band of the best wins (overfitting
+    a learned model's approximation error with a huge genome is noise,
+    not physics). Replaces the former 3-searches-at-3-parsimonies sweep
+    at ~1/3 the cost with a denser front."""
+    from kanodes_tpu.symbolic.engine import fit_pareto
     var = float(np.var(y)) + 1e-12
-    cands = []
-    for j, pars in enumerate(parsimonies):
-        f = fit_expression(x, y, ops=ops, generations=generations,
-                           parsimony=pars, seed=seed + 977 * j, **kw)
-        cands.append(f)
-    best_mse = min(f.mse for f in cands)
+    front = fit_pareto(x, y, ops=ops, generations=generations,
+                       seed=seed, **kw)
+    best_mse = min(f.mse for f in front)
     # tolerance band: the target y comes from a LEARNED model, so its own
     # approximation error floors how much of the residual is physics
     tol = max(3.0 * best_mse, 3e-4 * var)
-    ok = [f for f in cands if f.mse <= tol]
+    ok = [f for f in front if f.mse <= tol]
     return min(ok, key=lambda f: f.size)
 
 

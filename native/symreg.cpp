@@ -22,6 +22,7 @@
 
 #include <atomic>
 #include <cmath>
+#include <map>
 #include <cstdio>
 #include <cstring>
 #include <random>
@@ -396,10 +397,23 @@ std::string to_infix(const Genome& g) {
   return stack.empty() ? "0" : stack.back();
 }
 
+// Pareto archive: best (lowest-MSE) genome seen at each size. Filled
+// for free from the fitness evaluations of a single GP run — the
+// SRRegressor-style hall of fame the reference's model selection reads.
+using Front = std::map<int, std::pair<Genome, double>>;  // size -> (g, mse)
+
+void front_update(Front* f, const Genome& g, double mse) {
+  if (!f || mse >= 1e29) return;
+  int sz = (int)g.size();
+  auto it = f->find(sz);
+  if (it == f->end() || mse < it->second.second) (*f)[sz] = {g, mse};
+}
+
 // one full GP run; `cancel` (optional) aborts remaining generations
-// when another restart has already met the target
+// when another restart has already met the target; `front` (optional)
+// accumulates the per-size hall of fame
 Genome run_gp(const Problem& p, int pop, int gens, unsigned seed,
-              const std::atomic<bool>* cancel) {
+              const std::atomic<bool>* cancel, Front* front = nullptr) {
   Rng rng(seed ? seed : 12345u);
   std::vector<Genome> popv(pop);
   std::vector<double> fit(pop);
@@ -412,6 +426,8 @@ Genome run_gp(const Problem& p, int pop, int gens, unsigned seed,
   double best_fit = fit[0];
   auto track = [&](const Genome& g, double f) {
     if (f < best_fit) { best = g; best_fit = f; }
+    // fitness = mse * (1 + parsimony * size): recover the raw mse
+    front_update(front, g, f / (1.0 + p.parsimony * g.size()));
   };
   for (int i = 1; i < pop; ++i) track(popv[i], fit[i]);
 
@@ -528,4 +544,76 @@ extern "C" int symreg_fit_multi(const double* X, const double* y, int n,
   }
   if (bi < 0) return 4;
   return write_result(bests[bi], p, out_expr, out_cap, out_mse, out_size);
+}
+
+// Pareto-front fit: ONE multi-restart GP search returning the whole
+// per-size hall of fame (dominated entries pruned, every survivor
+// LM-refined) instead of a single scalarized winner — the engine-side
+// counterpart of PySR/SRRegressor model selection. out_exprs receives
+// the '\n'-joined infix strings of the front, sizes ascending.
+extern "C" int symreg_fit_pareto(const double* X, const double* y, int n,
+                                 int nvars, unsigned ops_mask, int pop,
+                                 int gens, unsigned seed, double parsimony,
+                                 int restarts, int max_front,
+                                 char* out_exprs, int out_cap,
+                                 double* out_mses, int* out_sizes,
+                                 int* out_count) {
+  if (n <= 0 || nvars <= 0 || pop < 8 || restarts < 1 || max_front < 1 ||
+      !X || !y || !out_exprs || !out_mses || !out_sizes || !out_count)
+    return 1;
+  Problem p{X, y, n, nvars, {}, parsimony};
+  if (int rc = build_problem(p, ops_mask)) return rc;
+
+  std::vector<Front> fronts(restarts);
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int r = 0; r < restarts; ++r)
+    run_gp(p, pop, gens, seed + 7919u * (unsigned)r + 1, nullptr,
+           &fronts[r]);
+
+  Front merged;
+  for (const Front& f : fronts)
+    for (const auto& kv : f)
+      front_update(&merged, kv.second.first, kv.second.second);
+
+  // LM-refine every candidate, then prune to the Pareto-dominant set
+  // (strictly decreasing mse with increasing size)
+  std::vector<std::pair<Genome, double>> refined;
+  for (auto& kv : merged) {
+    Genome g = kv.second.first;
+    refine_constants_lm(g, p, 20);
+    refined.push_back({g, mse_of(g, p)});
+  }
+  std::sort(refined.begin(), refined.end(),
+            [](const auto& a, const auto& b) {
+              return a.first.size() != b.first.size()
+                  ? a.first.size() < b.first.size()
+                  : a.second < b.second;
+            });
+  std::vector<std::pair<Genome, double>> front;
+  double best = 1e300;
+  for (auto& e : refined) {
+    if (e.second < best * (1.0 - 1e-12)) {
+      front.push_back(e);
+      best = e.second;
+    }
+  }
+  // keep the max_front LOWEST-mse members (they carry the knee)
+  if ((int)front.size() > max_front)
+    front.erase(front.begin(), front.end() - max_front);
+
+  std::string joined;
+  int cnt = 0;
+  for (auto& e : front) {
+    std::string expr = to_infix(e.first);
+    if ((int)(joined.size() + expr.size() + 2) > out_cap) break;
+    if (cnt) joined += '\n';
+    joined += expr;
+    out_mses[cnt] = e.second;
+    out_sizes[cnt] = (int)e.first.size();
+    ++cnt;
+  }
+  if (cnt == 0) return 4;
+  std::memcpy(out_exprs, joined.c_str(), joined.size() + 1);
+  *out_count = cnt;
+  return 0;
 }

@@ -41,6 +41,25 @@ def test_two_variable_recovery():
     assert fit.mse < 1e-4, (fit.expression, fit.mse)
 
 
+def test_fit_pareto_front():
+    """The engine's Pareto archive: strictly improving MSE with size,
+    and the true 2-term law appears as a compact front member."""
+    from kanodes_tpu.symbolic.engine import fit_pareto
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0.1, 2.0, (250, 1))
+    y = 1.5 * x[:, 0] - x[:, 0] ** 2
+    front = fit_pareto(x, y, ops=("+", "-", "*"), population=256,
+                       generations=150, restarts=2, seed=5)
+    assert len(front) >= 2
+    sizes = [f.size for f in front]
+    mses = [f.mse for f in front]
+    assert sizes == sorted(sizes)
+    assert all(b < a for a, b in zip(mses, mses[1:]))   # strict dominance
+    # a compact member nails the law (LM-refined constants)
+    good = [f for f in front if f.mse < 1e-10 and f.size <= 9]
+    assert good, front
+
+
 def test_simplify_expression():
     s = simplify_expression("((x0 - x0) - ((x0 + ((x0 - (x0 + x0)) / x0)) * x0))")
     # should reduce to x0 - x0**2 (i.e. x0*(1-x0))
