@@ -103,6 +103,41 @@ def test_on_chunk_called_per_device_call():
     assert calls[-1][1] == 120
 
 
+def test_chunk_cache_respects_new_lr():
+    """train() memoizes its jitted chunk across calls keyed WITHOUT the
+    learning rate (lr is injected via opt_state); a second call with the
+    same loss closure but a different lr must actually train at the new
+    lr — lr=0 must be an exact no-op even on the cache-hit path."""
+    loss_fn, eval_fn, params = _quad_problem()
+    cfg1 = TrainConfig(lr=0.05, iters=40, eval_every=40)
+    out1 = train(loss_fn, params, cfg1)
+    assert float(out1["loss_history"][-1]) < float(out1["loss_history"][0])
+
+    # same closure, lr=0 -> cache hit, but parameters must NOT move
+    cfg0 = TrainConfig(lr=0.0, iters=40, eval_every=40)
+    out0 = train(loss_fn, params, cfg0)
+    np.testing.assert_array_equal(np.asarray(out0["params"]["x"]),
+                                  np.asarray(params["x"]))
+
+    # and a third call at a large lr trains faster than the small one
+    cfgL = TrainConfig(lr=0.5, iters=40, eval_every=40)
+    outL = train(loss_fn, params, cfgL)
+    assert float(outL["loss_history"][-1]) < float(out1["loss_history"][-1])
+
+
+def test_chunk_cache_key_includes_structure():
+    """Different chunk shapes (eval_every) and optimizers must NOT share
+    a cached chunk."""
+    from kanodes_tpu.train.loop import _RUN_CHUNK_CACHE
+    loss_fn, eval_fn, params = _quad_problem()
+    n0 = len(_RUN_CHUNK_CACHE)
+    train(loss_fn, params, TrainConfig(lr=0.05, iters=40, eval_every=40))
+    train(loss_fn, params, TrainConfig(lr=0.05, iters=40, eval_every=20))
+    train(loss_fn, params, TrainConfig(lr=0.05, iters=40, eval_every=40,
+                                       optimizer="sgd"))
+    assert len(_RUN_CHUNK_CACHE) >= n0 + 3
+
+
 def test_opt_state_resume_matches_uninterrupted():
     """Splitting a run via (params, opt_state) hand-off is exactly
     equivalent to one uninterrupted run."""
