@@ -13,6 +13,9 @@ history fetch.
 from __future__ import annotations
 
 import dataclasses
+import hashlib
+import os
+import pickle
 from typing import Any, Callable
 
 import jax
@@ -24,6 +27,68 @@ Array = jax.Array
 
 # jitted-chunk memo across train() calls (see train() body)
 _RUN_CHUNK_CACHE: dict = {}
+
+# cross-PROCESS executable cache: the axon backend re-runs the remote
+# Mosaic compile for every fresh process even with a warm XLA disk
+# cache (measured 38-70 s per fused-kernel training chunk, vs 5 s to
+# lower). Keyed by the sha256 of the lowered HLO (which bakes in every
+# closed-over constant), so a stale hit is impossible; disabled on CPU
+# (tests) where compiles are cheap and blobs are large.
+_AOT_DIR = os.environ.get("KANODE_AOT_DIR",
+                          os.path.expanduser("~/.cache/kanode_aot"))
+
+
+def _aot_key(jitted, *args) -> str:
+    """Cache key from the traced JAXPR (pure host work — no lowering,
+    no device contact): the scrubbed jaxpr text covers the program
+    structure and every input aval; the closure constants' bytes cover
+    the baked-in data, so a stale hit is impossible. Process-varying
+    object addresses in function reprs are scrubbed."""
+    import re
+
+    import numpy as np
+
+    closed = jax.make_jaxpr(jitted)(*args)
+    txt = re.sub(r"0x[0-9a-fA-F]+", "", str(closed))
+    h = hashlib.sha256(txt.encode())
+    for c in closed.consts:
+        arr = np.asarray(c)
+        h.update(str(arr.dtype).encode() + str(arr.shape).encode())
+        h.update(arr.tobytes())
+    h.update(jax.__version__.encode())
+    h.update(jax.default_backend().encode())
+    h.update(jax.devices()[0].device_kind.encode())
+    return h.hexdigest()
+
+
+def _aot_compile(jitted, *args):
+    """Key by jaxpr -> load cached executable (skips lowering AND the
+    Mosaic remote compile), else compile + store. Returns None to fall
+    back to the plain jit path on any failure."""
+    if jax.default_backend() == "cpu":
+        return None
+    try:
+        path = os.path.join(_AOT_DIR, _aot_key(jitted, *args) + ".pkl")
+        if os.path.exists(path):
+            from jax.experimental.serialize_executable import \
+                deserialize_and_load
+            with open(path, "rb") as f:
+                ser, it, ot = pickle.load(f)
+            return deserialize_and_load(ser, it, ot)
+        compiled = jitted.lower(*args).compile()
+        try:
+            from jax.experimental.serialize_executable import serialize
+            os.makedirs(_AOT_DIR, exist_ok=True)
+            ser, it, ot = serialize(compiled)
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                pickle.dump((ser, it, ot), f)
+            os.replace(tmp, path)
+        except Exception:
+            pass
+        return compiled
+    except Exception:
+        return None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -44,9 +109,10 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     """The learning rate is INJECTED as a runtime hyperparameter (it
     lives in opt_state, not in the compiled program): training phases
     that differ only in lr then lower to byte-identical HLO, so the
-    persistent compilation cache turns every phase after the first into
-    a cache hit — on this machine each avoided Mosaic remote compile of
-    the fused-kernel training chunk is ~45-70 s."""
+    in-process chunk memo and the cross-process AOT executable cache
+    (see _aot_compile) both serve every phase after the first — on this
+    machine each avoided Mosaic remote compile of a fused-kernel
+    training chunk is ~38-70 s."""
     if cfg.optimizer == "adam":
         opt = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr)
     elif cfg.optimizer == "adamw":
@@ -138,11 +204,20 @@ def train(loss_fn: Callable[[Any], Array],
             snap = carry[0] if record_history else jnp.nan
             return carry, (losses, metric, snap)
 
-        @jax.jit
-        def run_chunk(carry):
+        def _chunk_fn(carry):
             carry, (losses, metrics, snaps) = lax.scan(
                 outer, carry, None, length=evals_per_call)
             return carry, losses.reshape(-1), metrics, snaps
+
+        jitted = jax.jit(_chunk_fn)
+        aot = {}
+
+        def run_chunk(carry):
+            # first call: try the cross-process executable cache
+            if "exe" not in aot:
+                aot["exe"] = _aot_compile(jitted, carry)
+            exe = aot["exe"]
+            return exe(carry) if exe is not None else jitted(carry)
 
         if len(_RUN_CHUNK_CACHE) >= 16:      # bound closure retention
             _RUN_CHUNK_CACHE.pop(next(iter(_RUN_CHUNK_CACHE)))
