@@ -51,10 +51,22 @@ def _aot_key(jitted, *args) -> str:
     closed = jax.make_jaxpr(jitted)(*args)
     txt = re.sub(r"0x[0-9a-fA-F]+", "", str(closed))
     h = hashlib.sha256(txt.encode())
-    for c in closed.consts:
-        arr = np.asarray(c)
-        h.update(str(arr.dtype).encode() + str(arr.shape).encode())
-        h.update(arr.tobytes())
+    # constants hide in NESTED jaxprs (pjit/scan/cond bodies), not just
+    # the top level — walk them all or a data change could silently hit
+    # a stale executable
+    stack = [closed]
+    while stack:
+        cj = stack.pop()
+        for c in getattr(cj, "consts", ()):
+            arr = np.asarray(c)
+            h.update(str(arr.dtype).encode() + str(arr.shape).encode())
+            h.update(arr.tobytes())
+        jaxpr = getattr(cj, "jaxpr", cj)
+        for eqn in getattr(jaxpr, "eqns", ()):
+            for v in eqn.params.values():
+                for u in (v if isinstance(v, (list, tuple)) else [v]):
+                    if hasattr(u, "jaxpr") or hasattr(u, "eqns"):
+                        stack.append(u)
     h.update(jax.__version__.encode())
     h.update(jax.default_backend().encode())
     h.update(jax.devices()[0].device_kind.encode())
