@@ -55,6 +55,11 @@ class SurrogateConfig:
     substeps: int = 20                 # per snapshot interval
     solve_mode: str = "fixed"          # fixed | shooting
     impl: str = "xla"                  # xla | fused (whole-RK-step kernels)
+    # fixed-grid stepper. These solves are STABILITY-bound (substeps set
+    # by the semi-discrete operator's spectrum, not accuracy), so a
+    # tableau with more stability per stage can beat Tsit5: rk4 has
+    # ~2.83/4 = 0.71 imaginary-axis units per stage vs Tsit5's ~0.5.
+    rk_solver: str = "tsit5"
     max_iters_per_call: int | None = None
     seed: int = 0
 
@@ -137,7 +142,7 @@ def make_fns(cfg: SurrogateConfig, model: KANChain,
             def fused_trajectory(params):
                 c1p, w1p, c2p, w2p = ws.pad_params(*fused_params(params))
                 xp = jnp.pad(u0[None], ((0, 0), (0, ws.Ipad - ws.I)))
-                ys = fused_rk_multistep_wide(ws, "tsit5", base_h,
+                ys = fused_rk_multistep_wide(ws, cfg.rk_solver, base_h,
                                              total_steps, xp,
                                              c1p, w1p, c2p, w2p)
                 return ys[snap_rows][:, 0, :ws.I]
@@ -153,7 +158,7 @@ def make_fns(cfg: SurrogateConfig, model: KANChain,
             h = dt_total / n_steps
 
             def body(c, _):
-                return fused_rk_step(spec, "tsit5", h, c, *fp), None
+                return fused_rk_step(spec, cfg.rk_solver, h, c, *fp), None
 
             x, _ = jax.lax.scan(body, x, None, length=n_steps)
             return x
@@ -161,7 +166,7 @@ def make_fns(cfg: SurrogateConfig, model: KANChain,
         if uniform:
             def fused_trajectory(params):
                 fp = fused_params(params)
-                ys = fused_rk_multistep(spec, "tsit5", base_h,
+                ys = fused_rk_multistep(spec, cfg.rk_solver, base_h,
                                         total_steps, u0[None], *fp)
                 return ys[snap_rows][:, 0, :]
 
@@ -178,7 +183,8 @@ def make_fns(cfg: SurrogateConfig, model: KANChain,
                 rows.append(x)
             ys = jnp.concatenate(rows, axis=0)
         else:
-            ys = odeint_fixed(rhs, u0, t_grid, params, solver="tsit5",
+            ys = odeint_fixed(rhs, u0, t_grid, params,
+                              solver=cfg.rk_solver,
                               substeps=cfg.substeps)
         return ys if idx[0] == 0 else ys[1:]
 
@@ -220,7 +226,8 @@ def make_fns(cfg: SurrogateConfig, model: KANChain,
 
         def seg(u_s, t0, t1):
             seg_ts = jnp.stack([t0, t1])
-            return odeint_fixed(rhs, u_s, seg_ts, params, solver="tsit5",
+            return odeint_fixed(rhs, u_s, seg_ts, params,
+                                solver=cfg.rk_solver,
                                 substeps=cfg.substeps)[-1]
 
         preds = jax.vmap(seg)(starts, seg_ts0, seg_ts1)

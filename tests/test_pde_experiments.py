@@ -81,6 +81,18 @@ class TestSurrogateExperiments:
         h = np.asarray(out["loss_history"])
         assert np.isfinite(h).all() and h[-1] < h[0]
 
+    def test_rk4_solver_option(self):
+        """rk_solver='rk4' (better imaginary-axis stability per stage
+        for stability-bound surrogates) trains through the fused path."""
+        from kanodes_tpu.experiments.pde_surrogate import (SurrogateConfig,
+                                                           run)
+        cfg = SurrogateConfig(problem="burgers", iters=100, eval_every=100,
+                              substeps=6, rk_solver="rk4", impl="fused",
+                              solve_mode="shooting")
+        out = run(cfg)
+        h = np.asarray(out["loss_history"])
+        assert np.isfinite(h).all() and h[-1] < h[0]
+
     def test_shooting_mode(self):
         from kanodes_tpu.experiments.pde_surrogate import (SurrogateConfig,
                                                            run)
