@@ -133,7 +133,7 @@ def make_fns(cfg: SurrogateConfig, model: KANChain,
         from kanodes_tpu.ops.kdense_pallas import fused_params
         from kanodes_tpu.ops.rk_fused_wide import (wide_chain_adapter,
                                                    fused_rk_multistep_wide)
-        ws, _advance = wide_chain_adapter(model)
+        ws, _advance = wide_chain_adapter(model, solver=cfg.rk_solver)
 
         def fused_advance(params, x, n_steps, dt_total):
             return _advance(params, x, dt_total / n_steps, n_steps)

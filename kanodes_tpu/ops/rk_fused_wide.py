@@ -490,7 +490,8 @@ def _frmw_bwd(ws, solver, dt, n_steps, interpret, res, gys):
 fused_rk_multistep_wide.defvjp(_frmw_fwd, _frmw_bwd)
 
 
-def wide_chain_adapter(chain, block: int = 128, multistep: bool = True):
+def wide_chain_adapter(chain, block: int = 128, multistep: bool = True,
+                       solver: str = "tsit5"):
     """Build (ws, advance) for a 2-layer chain with a wide state:
     `advance(params, x_unpadded, dt, n_steps)` runs n_steps fused wide
     RK steps and returns the unpadded final state. multistep=True runs
@@ -509,12 +510,12 @@ def wide_chain_adapter(chain, block: int = 128, multistep: bool = True):
         xp = jnp.pad(x, ((0, 0), (0, ws.Ipad - ws.I)))
 
         if multistep:
-            ys = fused_rk_multistep_wide(ws, "tsit5", dt, n_steps, xp,
+            ys = fused_rk_multistep_wide(ws, solver, dt, n_steps, xp,
                                          c1p, w1p, c2p, w2p)
             return ys[-1][:, :ws.I]
 
         def body(c, _):
-            return fused_rk_step_wide(ws, "tsit5", dt, c,
+            return fused_rk_step_wide(ws, solver, dt, c,
                                       c1p, w1p, c2p, w2p), None
 
         xp, _ = jax.lax.scan(body, xp, None, length=n_steps)

@@ -22,6 +22,9 @@ import sys
 import time
 
 PROBLEM = sys.argv[1] if len(sys.argv) > 1 else "schrodinger"
+RK_SOLVER = sys.argv[2] if len(sys.argv) > 2 else "tsit5"
+SUBSTEPS = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+_TAG = "" if RK_SOLVER == "tsit5" else f"_{RK_SOLVER}"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -37,9 +40,9 @@ from kanodes_tpu.experiments.pde_surrogate import (SurrogateConfig,
                                                    make_fns)
 from kanodes_tpu.train.loop import TrainConfig, train
 
-OUT = f"artifacts/{PROBLEM}_full.json"
-PARAMS_NPY = f"artifacts/{PROBLEM}_full_params.npy"
-BEST_NPY = f"artifacts/{PROBLEM}_full_best_params.npy"
+OUT = f"artifacts/{PROBLEM}_full{_TAG}.json"
+PARAMS_NPY = f"artifacts/{PROBLEM}_full{_TAG}_params.npy"
+BEST_NPY = f"artifacts/{PROBLEM}_full{_TAG}_best_params.npy"
 # (solve_mode, lr, iters) — 1e5 total, the reference Adam regime
 # (Schrodinger_Surrogate.jl:170 lr 1e-3; Allen-Cahn/Burgers 1e-2).
 # Continuation lrs are small: phase 0 already converges near the f32
@@ -58,6 +61,7 @@ PHASES_BY_PROBLEM = {
 PHASES = PHASES_BY_PROBLEM[PROBLEM]
 
 base = SurrogateConfig(problem=PROBLEM, impl="fused",
+                       rk_solver=RK_SOLVER, substeps=SUBSTEPS,
                        max_iters_per_call=2_000, eval_every=500)
 data = make_data(base)
 model = make_model(base, data)
