@@ -185,6 +185,60 @@ def _chain_vjp_wide_dx(ws, x, y1, c1, w1, c2, w2, gsm, esm, ssm, gy,
     return dx, dy1, B, b2
 
 
+def _chain_vjp_wide_dx_pre(ws, x, y1, B, u2, b2, c1, w1, c2, w2, ssm,
+                           gy):
+    """dx-path of the chain VJP with ALL forward intermediates
+    precomputed (B from the wide layer, u2/b2 from the small layer) —
+    used by the window-batched multistep backward, where the rebuild
+    runs once per window at [W*K, ...] and this per-step chain only
+    does the irreducibly sequential work."""
+    h = ws.spec.h
+    m2 = _dot(gy, c2.T)
+    drep = m2 * (-2.0 * u2 * b2) * (1.0 / h)
+    dxn2 = _dot(drep, ssm)
+    dy1 = dxn2 * _dnorm(y1, ws.spec.normalizer) \
+        + _dot(gy, w2.T) * _dswish(y1)
+    Ipad = ws.Ipad
+    inv_h = 1.0 / h
+    xn = _norm(x, ws.spec.normalizer)
+    m = _dot(dy1, c1.T)                                # [K, G*Ipad]
+    dxn = jnp.zeros_like(x)
+    for g, gv in enumerate(ws.grid_values()):
+        u = (xn - gv) * inv_h
+        sl = slice(g * Ipad, (g + 1) * Ipad)
+        dxn = dxn + m[:, sl] * (-2.0 * inv_h) * u * B[:, sl]
+    dx = dxn * _dnorm(x, ws.spec.normalizer) \
+        + _dot(dy1, w1.T) * _dswish(x)
+    return dx, dy1
+
+
+def _window_rebuild(ws, tab, dt, needed, Xb, c1, w1, c2, w2, gsm, esm):
+    """Batched stage rebuild for a whole WINDOW of steps at once: steps
+    are independent given their stored input states, so one pass over
+    the stages at [W*K, ...] replaces W sequential per-step rebuilds.
+    Returns per-stage (xs, y1s, Bs, u2s, b2s) lists (None where the
+    stage is pruned)."""
+    ks = [None] * tab.stages
+    xs = [None] * tab.stages
+    y1s = [None] * tab.stages
+    Bs = [None] * tab.stages
+    u2s = [None] * tab.stages
+    b2s = [None] * tab.stages
+    for i in range(tab.stages):
+        if not needed[i]:
+            continue
+        xi = Xb
+        for j in range(i):
+            if tab.a[i][j] != 0.0 and ks[j] is not None:
+                xi = xi + (dt * tab.a[i][j]) * ks[j]
+        xs[i] = xi
+        Bs[i] = _wide_basis(ws, _norm(xi, ws.spec.normalizer))
+        y1s[i] = _dot(_swish(xi), w1) + _dot(Bs[i], c1)
+        ks[i], u2s[i], b2s[i] = _small_layer_fwd(ws, y1s[i], c2, w2,
+                                                 gsm, esm)
+    return xs, y1s, Bs, u2s, b2s
+
+
 def _step_adjoint_wide_collect(ws, tab, dt, needed, x, xbar, c1, w1, c2,
                                w2, gsm, esm, ssm):
     """One-step discrete adjoint at input state x with output cotangent
@@ -402,25 +456,69 @@ def _wide_multistep_bwd_kernel(ws, tab, dt, needed, n_steps, window,
     folding in the cotangent of every saved state.
 
     Steps are processed in unrolled windows of `window` (a divisor of
-    n_steps): the dx-chain stays sequential, but every window's parameter
-    cotangents are batched into FOUR GEMMs total — the per-step param
-    GEMMs are tiny-contraction/fixed-latency ops and dominated the
-    backward at window=1."""
+    n_steps):
+      * the STAGE REBUILD runs once per window, batched over the
+        window's steps at [W*K, ...] (steps are independent given the
+        stored states) — W sequential rebuilds become one;
+      * the irreducibly sequential per-step dx-chain consumes slices of
+        the batched intermediates;
+      * every window's parameter cotangents collapse into FOUR GEMMs."""
     c1, w1, c2, w2 = c1_ref[:], w1_ref[:], c2_ref[:], w2_ref[:]
     gsm, esm, ssm = gsm_ref[:], esm_ref[:], ssm_ref[:]
+    K = x0_ref.shape[0]
 
     def body(wi, carry):
         xbar, dc1, dw1, dc2, dw2 = carry
+        # ---- batched rebuild over the window's steps ----
+        x_ins = []
+        for u in range(window):
+            s = n_steps - 1 - (wi * window + u)
+            x_ins.append(jnp.where(s == 0, x0_ref[:],
+                                   ys_ref[jnp.maximum(s - 1, 0)]))
+        Xb = jnp.concatenate(x_ins, axis=0)            # [W*K, Ipad]
+        xs, y1s, Bs, u2s, b2s = _window_rebuild(
+            ws, tab, dt, needed, Xb, c1, w1, c2, w2, gsm, esm)
+
+        # ---- sequential reverse dx-chain, one step at a time ----
         ops_all = []
         for u in range(window):
             s = n_steps - 1 - (wi * window + u)
-            x_in = jnp.where(s == 0, x0_ref[:],
-                             ys_ref[jnp.maximum(s - 1, 0)])
+            rows = slice(u * K, (u + 1) * K)
             xbar = xbar + gys_ref[s]
-            xbar, ops = _step_adjoint_wide_collect(
-                ws, tab, dt, needed, x_in, xbar, c1, w1, c2, w2,
-                gsm, esm, ssm)
-            ops_all.append(ops)
+            dx = xbar
+            kbar = [None] * tab.stages
+            for i in range(tab.stages):
+                if needed[i] and tab.b[i] != 0.0:
+                    kbar[i] = (dt * tab.b[i]) * xbar
+            sB, sb2, sD, sK, sswx, sswy1 = [], [], [], [], [], []
+            for i in range(tab.stages - 1, -1, -1):
+                if not needed[i] or kbar[i] is None:
+                    continue
+                x_i = xs[i][rows]
+                y1_i = y1s[i][rows]
+                B_i = Bs[i][rows]
+                dxi, dy1_i = _chain_vjp_wide_dx_pre(
+                    ws, x_i, y1_i, B_i, u2s[i][rows], b2s[i][rows],
+                    c1, w1, c2, w2, ssm, kbar[i])
+                sB.append(B_i)
+                sb2.append(b2s[i][rows])
+                sD.append(dy1_i)
+                sK.append(kbar[i])
+                sswx.append(_swish(x_i))
+                sswy1.append(_swish(y1_i))
+                dx = dx + dxi
+                for j in range(i):
+                    if tab.a[i][j] != 0.0 and needed[j]:
+                        contrib = (dt * tab.a[i][j]) * dxi
+                        kbar[j] = contrib if kbar[j] is None \
+                            else kbar[j] + contrib
+            xbar = dx
+            ops_all.append((jnp.concatenate(sB, axis=0),
+                            jnp.concatenate(sb2, axis=0),
+                            jnp.concatenate(sD, axis=0),
+                            jnp.concatenate(sK, axis=0),
+                            jnp.concatenate(sswx, axis=0),
+                            jnp.concatenate(sswy1, axis=0)))
         stacked = tuple(jnp.concatenate([o[i] for o in ops_all], axis=0)
                         for i in range(6))
         dc1i, dw1i, dc2i, dw2i = _param_gemms(stacked)
