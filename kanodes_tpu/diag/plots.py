@@ -171,6 +171,177 @@ def symbolic_error_contours(kan_rhs, sym_exprs: list[str], truth_rhs,
     return fig
 
 
+def contour_compare(truth_rhs, kan_rhs, mlp_rhs, sym_exprs: list[str],
+                    out_dir: str, trajectory=None, sym_comp_rhs=None,
+                    n: int = 100,
+                    ranges=((0.25, 7.5), (0.1, 5.0))) -> dict:
+    """Fig 4(C) parity: the reference's 4-way RHS error-contour panels
+    (`Plotting_symbolic.jl:196-305`) — per output dim, the truth field
+    plus signed errors (truth − approx) of the KAN, the MLP, the GLOBAL
+    symbolic ODE, and (optionally) the per-activation symbolic
+    composition ("Symbolic KAN-ODE"), each its own PNG with the
+    reference's file names (xdot_actual / xdot_kan / xdot_mlp /
+    xdot_symb / xdot_symb_comp and the ydot set), diverging colormap,
+    KAN errors clamped to the MLP error range (:239-240), and the
+    training trajectory scattered on top.
+
+    Returns {panel_name: max_abs_error} for gating/regression tests.
+    """
+    import os
+
+    import jax.numpy as jnp
+
+    plt = _plt()
+    os.makedirs(out_dir, exist_ok=True)
+    (xlo, xhi), (ylo, yhi) = ranges
+    xs = np.linspace(xlo, xhi, n)
+    ys = np.linspace(ylo, yhi, n)
+    XX, YY = np.meshgrid(xs, ys)
+    pts = np.stack([XX.ravel(), YY.ravel()], 1).astype(np.float32)
+
+    tru = np.asarray(truth_rhs(pts)).reshape(n, n, 2)
+    fields = {"actual": tru}
+    errs = {}
+    approx = {"kan": np.asarray(kan_rhs(jnp.asarray(pts)))}
+    if mlp_rhs is not None:
+        approx["mlp"] = np.asarray(mlp_rhs(jnp.asarray(pts)))
+    env = {"x0": pts[:, 0].astype(np.float64),
+           "x1": pts[:, 1].astype(np.float64),
+           "sin": np.sin, "cos": np.cos, "exp": np.exp,
+           "square": np.square}
+    approx["symb"] = np.stack(
+        [np.broadcast_to(eval(e, {"__builtins__": {}}, env),  # noqa: S307
+                         pts[:, 0].shape) for e in sym_exprs], axis=1)
+    if sym_comp_rhs is not None:
+        approx["symb_comp"] = np.asarray(sym_comp_rhs(pts))
+    for name, a in approx.items():
+        errs[name] = tru - a.reshape(n, n, 2)
+    if "mlp" in errs:
+        # clamp the KAN error to the MLP error range so shared color
+        # scales stay readable (Plotting_symbolic.jl:239-240)
+        for d in range(2):
+            errs["kan"][..., d] = np.clip(errs["kan"][..., d],
+                                          errs["mlp"][..., d].min(),
+                                          errs["mlp"][..., d].max())
+
+    stats = {}
+    for d, prefix in enumerate(("xdot", "ydot")):
+        panels = [("actual", fields["actual"][..., d], "amp")]
+        panels += [(k, errs[k][..., d], "balance") for k in errs]
+        for name, field, style in panels:
+            fig, ax = plt.subplots(figsize=(3.2, 2.5), dpi=200)
+            if style == "amp":
+                c = ax.contourf(XX, YY, field, levels=60, cmap="YlOrRd")
+            else:
+                lim = float(np.abs(field).max()) + 1e-12
+                c = ax.contourf(XX, YY, field, levels=60, cmap="RdBu_r",
+                                vmin=-lim, vmax=lim)
+            fig.colorbar(c, ax=ax)
+            if trajectory is not None:
+                tr = np.asarray(trajectory)
+                ax.scatter(tr[:, 0], tr[:, 1], s=2, c="goldenrod",
+                           edgecolors="none")
+            ax.set_xlabel("x")
+            ax.set_ylabel("y")
+            fig.tight_layout()
+            fig.savefig(os.path.join(out_dir, f"{prefix}_{name}.png"))
+            plt.close(fig)
+            stats[f"{prefix}_{name}"] = float(np.abs(field).max())
+    return stats
+
+
+def _eval_edge_expr(expr: str, x: np.ndarray) -> np.ndarray:
+    env = {"x0": x.astype(np.float64), "sin": np.sin, "cos": np.cos,
+           "exp": np.exp, "square": np.square}
+    return np.broadcast_to(
+        eval(expr, {"__builtins__": {}}, env), x.shape)  # noqa: S307
+
+
+def activation_symbolic_overlays(chain, params, x_samples, edge_eqs,
+                                 out_dir: str, beta: float = 1.0) -> list:
+    """Fig 4(A-B) parity: per-activation plots of the LEARNED edge
+    functions and their recovered SYMBOLIC fits
+    (`Plotting_symbolic.jl:345-411`), with the reference's
+    magnitude-scaled line transparency (alpha = tanh(beta *
+    output_range/input_range)) and file names — layer 1 edges from x/y
+    (`X{j}.png`, `Y{j}.png`, `X_symb_{j}.png`, `Y_symb_{j}.png`), layer
+    2 edges (`second_{i}_to_X.png`, `second_symb_{i}_to_X.png`, ...Y) —
+    plus one combined overlay panel per layer (learned solid / symbolic
+    dashed), which the reference lacked.
+
+    edge_eqs: list of EdgeEquation (symbolic.fit.fit_edge_activations).
+    Returns the written file names.
+    """
+    import os
+
+    plt = _plt()
+    from kanodes_tpu.sparsify.activations import chain_activations
+
+    os.makedirs(out_dir, exist_ok=True)
+    ca = chain_activations(chain, params, x_samples)
+    eq_by_key = {(e.layer, e.i, e.o): e for e in edge_eqs}
+    in_names = {0: ("X", "Y")}
+    written = []
+
+    def _single(path, xv, yv, alpha):
+        fig, ax = plt.subplots(figsize=(1.6, 1.2), dpi=200)
+        ax.plot(xv, yv, color="black", lw=1.2, alpha=max(alpha, 0.06))
+        ax.set_xticks([float(xv.min()), float(xv.max())])
+        ax.set_yticks([])
+        fig.tight_layout(pad=0.2)
+        fig.savefig(path)
+        plt.close(fig)
+        written.append(os.path.basename(path))
+
+    overlay_axes = []
+    for l, act in enumerate(ca.acts):
+        a = np.asarray(act)                        # [N, I, O]
+        xin = np.asarray(ca.inputs[l])             # [N, I]
+        N, I, O = a.shape
+        fig_o, axes_o = plt.subplots(I, O, figsize=(2.2 * O, 1.8 * I),
+                                     dpi=150, squeeze=False)
+        overlay_axes.append((fig_o, axes_o))
+        for i in range(I):
+            order = np.argsort(xin[:, i])
+            xv = xin[order, i]
+            in_rng = float(xv[-1] - xv[0]) + 1e-12
+            for o in range(O):
+                yv = a[order, i, o]
+                alpha = float(np.tanh(
+                    beta * (yv.max() - yv.min()) / in_rng))
+                if l == 0 and I == 2:
+                    base = f"{in_names[0][i]}{o + 1}"
+                    sbase = f"{in_names[0][i]}_symb_{o + 1}"
+                else:
+                    tgt = ("X", "Y")[o] if O == 2 else str(o + 1)
+                    base = f"second_{i + 1}_to_{tgt}"
+                    sbase = f"second_symb_{i + 1}_to_{tgt}"
+                _single(os.path.join(out_dir, base + ".png"),
+                        xv, yv, alpha)
+                ax = axes_o[i][o]
+                ax.plot(xv, yv, "k-", lw=1.2,
+                        alpha=max(alpha, 0.06), label="learned")
+                eq = eq_by_key.get((l, i, o))
+                if eq is not None:
+                    sv = _eval_edge_expr(eq.fit.expression, xv)
+                    s_alpha = float(np.tanh(
+                        beta * (sv.max() - sv.min()) / in_rng))
+                    _single(os.path.join(out_dir, sbase + ".png"),
+                            xv, sv, s_alpha)
+                    ax.plot(xv, sv, "r--", lw=1.0,
+                            alpha=max(s_alpha, 0.06), label="symbolic")
+                ax.set_xticks([])
+                ax.set_yticks([])
+        fig_o.suptitle(f"layer {l + 1}: learned (black) vs symbolic "
+                       "(red dashed)", fontsize=9)
+        fig_o.tight_layout()
+        p = os.path.join(out_dir, f"overlay_layer{l + 1}.png")
+        fig_o.savefig(p)
+        plt.close(fig_o)
+        written.append(os.path.basename(p))
+    return written
+
+
 def pinn_field_plot(model, params, geo, path: str, n: int = 151):
     """phi and tau_eq contours over the notched plate (the PINN's
     diagnostics panels, StrainLimiting_KAN_PINN.py:1092-1178)."""

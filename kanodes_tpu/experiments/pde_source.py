@@ -43,6 +43,15 @@ class SourceConfig:
     max_iters_per_call: int | None = None
     impl: str = "xla"                  # xla | fused (whole-RK-step kernel)
     seed: int = 0
+    # multi-device: shard the spatial grid over `sp` devices. The known
+    # diffusion operator becomes the shard_map halo-exchange stencil of
+    # `pde/sharded.sharded_graybox_rhs` (periodic ring via ppermute) and
+    # the pointwise 1->1 KAN stays fully local; only the 2-cell halo
+    # crosses ICI per RK stage. XLA impl only; grid size must divide.
+    sp: int = 1
+    # dataset overrides (tiny multi-chip dryruns; None -> reference values)
+    data_dx: float | None = None
+    data_substeps: int | None = None
 
     def resolved_substeps(self) -> int:
         if self.substeps is not None:
@@ -60,10 +69,15 @@ class SourceConfig:
 
 
 def make_data(cfg: SourceConfig) -> datagen.PDEData:
+    kw = {}
+    if cfg.data_dx is not None:
+        kw["dx"] = cfg.data_dx
+    if cfg.data_substeps is not None:
+        kw["substeps"] = cfg.data_substeps
     if cfg.problem == "fisher_kpp":
-        return datagen.fisher_kpp()
+        return datagen.fisher_kpp(**kw)
     if cfg.problem == "allen_cahn":
-        return datagen.allen_cahn_source()
+        return datagen.allen_cahn_source(**kw)
     raise ValueError(cfg.problem)
 
 
@@ -89,7 +103,30 @@ def make_fns(cfg: SourceConfig, model: KDense, data: datagen.PDEData):
         learned = model.apply(params, u[:, None])[:, 0]
         return known + learned
 
-    if cfg.impl == "fused":
+    if cfg.sp > 1:
+        if cfg.impl == "fused":
+            raise ValueError("sharded mode uses the XLA path "
+                             "(impl='xla'); fused kernels are per-device")
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from kanodes_tpu.pde.sharded import sharded_graybox_rhs
+        n = len(data.x)
+        if n % cfg.sp:
+            raise ValueError(f"grid size {n} not divisible by sp={cfg.sp}"
+                             " (override data_dx to adjust)")
+        devs = jax.devices()
+        if len(devs) < cfg.sp:
+            raise ValueError(f"sp={cfg.sp} needs {cfg.sp} devices, "
+                             f"{len(devs)} visible")
+        mesh = Mesh(np.asarray(devs[:cfg.sp]), ("sp",))
+        rhs_sh = sharded_graybox_rhs(mesh, float(data.dx), float(D),
+                                     model, axis="sp")
+        u0_sh = jax.device_put(u0, NamedSharding(mesh, P("sp")))
+
+        def predict(params):
+            return odeint_fixed(rhs_sh, u0_sh, ts, params, solver="tsit5",
+                                substeps=cfg.resolved_substeps())
+    elif cfg.impl == "fused":
         from kanodes_tpu.ops.graybox_fused import graybox_kernel_adapter
         _, _advance = graybox_kernel_adapter(model, lap, float(D))
         sub = cfg.resolved_substeps()

@@ -62,6 +62,16 @@ class SurrogateConfig:
     rk_solver: str = "tsit5"
     max_iters_per_call: int | None = None
     seed: int = 0
+    # multi-device training: (dp, sp) mesh sizes. sp shards the GRID
+    # axis of the state and the KAN chain's grid-facing parameter dims
+    # (tensor-parallel contraction, one psum of the hidden vector per
+    # RHS eval — see pde/sharded.chain_local_apply); dp shards the
+    # shooting-segment batch. None -> single-device path.
+    mesh: tuple[int, int] | None = None
+    # dataset overrides (used by tiny multi-chip dryruns; None -> the
+    # reference protocol values)
+    data_dx: float | None = None
+    data_substeps: int | None = None
 
     def resolved_chunk(self) -> int:
         if self.max_iters_per_call is not None:
@@ -80,7 +90,12 @@ def make_data(cfg: SurrogateConfig) -> datagen.PDEData:
     gen = {"burgers": datagen.burgers,
            "allen_cahn": datagen.allen_cahn_surrogate,
            "schrodinger": datagen.schrodinger}[cfg.problem]
-    return gen()
+    kw = {}
+    if cfg.data_dx is not None:
+        kw["dx"] = cfg.data_dx
+    if cfg.data_substeps is not None:
+        kw["substeps"] = cfg.data_substeps
+    return gen(**kw)
 
 
 def make_model(cfg: SurrogateConfig, data: datagen.PDEData) -> KANChain:
@@ -237,13 +252,150 @@ def make_fns(cfg: SurrogateConfig, model: KANChain,
     return train_loss, loss_fn, predict
 
 
+def build_mesh(cfg: SurrogateConfig):
+    """Build the (dp, sp) device mesh requested by cfg.mesh."""
+    from jax.sharding import Mesh
+    dp, sp = cfg.mesh
+    devs = jax.devices()
+    if len(devs) < dp * sp:
+        raise ValueError(f"mesh {cfg.mesh} needs {dp * sp} devices, "
+                         f"{len(devs)} visible")
+    return Mesh(np.asarray(devs[:dp * sp]).reshape(dp, sp), ("dp", "sp"))
+
+
+def make_sharded_fns(cfg: SurrogateConfig, model: KANChain,
+                     data: datagen.PDEData, mesh):
+    """Multi-device variants of `make_fns`'s objectives (XLA impl).
+
+    Sharding layout (`pde/sharded.chain_local_apply`):
+      sp — the grid axis: state vectors [., N] are sharded into [., N/sp]
+           per device; layer-1 params along their input dim, layer-2
+           along their output dim. Each RHS eval is a local partial
+           contraction + ONE psum of the hidden vector over "sp".
+      dp — the shooting-segment batch (padded with masked duplicate rows
+           to a multiple of dp when needed).
+    Losses equal the single-device objectives up to f32 reduction order
+    (asserted by tests/test_pde.py parity tests).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from kanodes_tpu.pde.sharded import (chain_local_apply,
+                                         chain_param_specs)
+
+    dp, sp = mesh.shape["dp"], mesh.shape["sp"]
+    spec = _SNAPSHOTS[cfg.problem]
+    idx = np.asarray(spec["idx"])
+    ts_snap = jnp.asarray(data.ts[idx], jnp.float32)
+    X_snap = jnp.asarray(data.X[idx], jnp.float32)
+    u0 = jnp.asarray(data.X[0], jnp.float32)
+    N = int(data.X.shape[1])
+    if idx[0] == 0:
+        t_grid = ts_snap
+    else:
+        t_grid = jnp.concatenate([jnp.zeros((1,), jnp.float32), ts_snap])
+    T = int(X_snap.shape[0])
+
+    local_apply = chain_local_apply(model, sp, "sp")
+    p_specs = chain_param_specs(model, "sp")
+
+    def rhs_local(t, u_loc, params):
+        return local_apply(params, u_loc)
+
+    shard_map = jax.shard_map
+
+    # ---- trajectory objective (the reference saveat protocol) ----------
+    def _local_traj(params, u0_loc, X_loc):
+        ys = odeint_fixed(rhs_local, u0_loc, t_grid, params,
+                          solver=cfg.rk_solver, substeps=cfg.substeps)
+        pred = ys if idx[0] == 0 else ys[1:]
+        sq = jnp.sum((pred - X_loc) ** 2)
+        # dp rows compute identical (dp-invarying) values; reduce over
+        # the grid axis only
+        return jax.lax.psum(sq, "sp") / (T * N)
+
+    traj = shard_map(
+        _local_traj, mesh=mesh,
+        in_specs=(p_specs, P("sp"), P(None, "sp")), out_specs=P())
+
+    def loss_fn(params):
+        return traj(params, u0, X_snap)
+
+    # ---- shooting objective (segment batch sharded over dp) ------------
+    if idx[0] == 0:
+        starts_np = np.asarray(X_snap[:-1])
+        targets_np = np.asarray(X_snap[1:])
+        ts0_np = np.asarray(ts_snap[:-1])
+        ts1_np = np.asarray(ts_snap[1:])
+    else:
+        starts_np = np.concatenate([np.asarray(u0)[None],
+                                    np.asarray(X_snap[:-1])], axis=0)
+        targets_np = np.asarray(X_snap)
+        ts0_np = np.concatenate([[0.0], np.asarray(ts_snap[:-1])])
+        ts1_np = np.asarray(ts_snap)
+    S = starts_np.shape[0]
+    S_pad = -(-S // dp) * dp
+    pad = S_pad - S
+    if pad:
+        # duplicate row 0, masked out of the mean
+        rep = lambda a: np.concatenate([a, np.repeat(a[:1], pad, 0)], 0)
+        starts_np, targets_np = rep(starts_np), rep(targets_np)
+        ts0_np, ts1_np = rep(ts0_np), rep(ts1_np)
+    mask_np = (np.arange(S_pad) < S).astype(np.float32)
+
+    def _local_shoot(params, starts_loc, targets_loc, mask_loc,
+                     ts0_loc, ts1_loc):
+        def seg(u_s, t0, t1):
+            seg_ts = jnp.stack([t0, t1])
+            return odeint_fixed(rhs_local, u_s, seg_ts, params,
+                                solver=cfg.rk_solver,
+                                substeps=cfg.substeps)[-1]
+
+        preds = jax.vmap(seg)(starts_loc, ts0_loc, ts1_loc)
+        sq = jnp.sum((preds - targets_loc) ** 2 * mask_loc[:, None])
+        return jax.lax.psum(sq, ("dp", "sp")) / (S * N)
+
+    shoot = shard_map(
+        _local_shoot, mesh=mesh,
+        in_specs=(p_specs, P("dp", "sp"), P("dp", "sp"), P("dp"),
+                  P("dp"), P("dp")),
+        out_specs=P())
+
+    def shooting_loss(params):
+        return shoot(params, jnp.asarray(starts_np), jnp.asarray(targets_np),
+                     jnp.asarray(mask_np), jnp.asarray(ts0_np, jnp.float32),
+                     jnp.asarray(ts1_np, jnp.float32))
+
+    # ---- full-trajectory prediction (global output) --------------------
+    def _local_pred(params, u0_loc):
+        ys = odeint_fixed(rhs_local, u0_loc, t_grid, params,
+                          solver=cfg.rk_solver, substeps=cfg.substeps)
+        return ys if idx[0] == 0 else ys[1:]
+
+    pred_sm = shard_map(_local_pred, mesh=mesh,
+                        in_specs=(p_specs, P("sp")),
+                        out_specs=P(None, "sp"))
+
+    def predict(params):
+        return pred_sm(params, u0)
+
+    train_loss = shooting_loss if cfg.solve_mode == "shooting" else loss_fn
+    return train_loss, loss_fn, predict
+
+
 def run(cfg: SurrogateConfig | None = None, params=None) -> dict[str, Any]:
     cfg = cfg or SurrogateConfig()
     data = make_data(cfg)
     model = make_model(cfg, data)
     if params is None:
         params = model.init(jax.random.PRNGKey(cfg.seed))
-    train_loss, eval_loss, predict = make_fns(cfg, model, data)
+    if cfg.mesh is not None:
+        from kanodes_tpu.pde.sharded import shard_chain_params
+        mesh = build_mesh(cfg)
+        train_loss, eval_loss, predict = make_sharded_fns(
+            cfg, model, data, mesh)
+        params = shard_chain_params(mesh, model, params)
+    else:
+        train_loss, eval_loss, predict = make_fns(cfg, model, data)
     tc = TrainConfig(lr=cfg.resolved_lr(), iters=cfg.iters,
                      eval_every=cfg.eval_every,
                      max_iters_per_call=cfg.resolved_chunk())

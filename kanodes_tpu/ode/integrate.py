@@ -417,6 +417,11 @@ def odeint(f: Callable, y0, ts: Array, args=None, *,
 
     Default tolerances mirror the reference's OrdinaryDiffEq defaults
     (reltol 1e-3 / abstol 1e-6).
+
+    Gradient caveat: only adjoint="direct"/"direct_remat" differentiate
+    w.r.t. the save times `ts`; "backsolve" and "interpolating" return a
+    hard-zero `ts` cotangent (the boundary terms g_i . f(t_i, y_i) are
+    not computed). All adjoints differentiate y0 and args.
     """
     tab = get_tableau(solver)
     if tab.b_err is None:
@@ -433,8 +438,9 @@ def odeint(f: Callable, y0, ts: Array, args=None, *,
     if adjoint == "interpolating":
         if return_stats:
             raise ValueError("return_stats unsupported with interpolating")
+        dt0_static = None if dt0 is None else float(dt0)
         return _odeint_interp(f, tab, rtol, atol, max_steps, controller,
-                              2, y0, ts, args)
+                              2, dt0_static, y0, ts, args)
     if adjoint == "none":
         st = _adaptive_while(tab, f, y0, ts, args, rtol, atol, dt0,
                              max_steps, controller, dense=dense)
@@ -445,15 +451,9 @@ def odeint(f: Callable, y0, ts: Array, args=None, *,
     if adjoint in ("none", "direct", "direct_remat"):
         # if max_steps ran out before reaching every save time, fill the
         # remaining slots with the last integrated state instead of
-        # leaving zeros (zeros silently poison losses/gradients); check
-        # `return_stats` -> stats.success to detect truncation
-        T = ts.shape[0]
-        unreached = jnp.arange(T) >= st["save_idx"]
-        st["ys"] = _tmap(
-            lambda buf, yf: jnp.where(
-                unreached.reshape((T,) + (1,) * (buf.ndim - 1)),
-                yf[None], buf),
-            st["ys"], st["y"])
+        # leaving zeros; check `return_stats` -> stats.success to detect
+        # truncation
+        st["ys"] = _fill_unreached(st, ts)
     elif adjoint == "backsolve":
         if return_stats:
             raise ValueError("return_stats unsupported with backsolve")
@@ -527,31 +527,49 @@ def _adaptive_while_record(tab, f, y0, ts, args, rtol, atol, dt0,
     return lax.while_loop(cond, body, (state, rec))
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
-def _odeint_interp(f, tab, rtol, atol, max_steps, ctrl, bwd_substeps,
+def _fill_unreached(st, ts):
+    """Replace save rows the bounded solve never reached (max_steps ran
+    out) with the last integrated state — zeros there silently poison
+    losses/gradients. Applied uniformly by the direct and interpolating
+    paths."""
+    T = ts.shape[0]
+    unreached = jnp.arange(T) >= st["save_idx"]
+    return _tmap(
+        lambda buf, yf: jnp.where(
+            unreached.reshape((T,) + (1,) * (buf.ndim - 1)), yf[None], buf),
+        st["ys"], st["y"])
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+def _odeint_interp(f, tab, rtol, atol, max_steps, ctrl, bwd_substeps, dt0,
                    y0, ts, args):
-    st, _ = _adaptive_while_record(tab, f, y0, ts, args, rtol, atol, None,
+    st, _ = _adaptive_while_record(tab, f, y0, ts, args, rtol, atol, dt0,
                                    max_steps, ctrl)
+    st["ys"] = _fill_unreached(st, ts)
     return st["ys"]
 
 
-def _interp_fwd(f, tab, rtol, atol, max_steps, ctrl, bwd_substeps,
+def _interp_fwd(f, tab, rtol, atol, max_steps, ctrl, bwd_substeps, dt0,
                 y0, ts, args):
     st, rec = _adaptive_while_record(tab, f, y0, ts, args, rtol, atol,
-                                     None, max_steps, ctrl)
-    return st["ys"], (rec, st["n_accept"], ts, args)
+                                     dt0, max_steps, ctrl)
+    st["ys"] = _fill_unreached(st, ts)
+    return st["ys"], (rec, st["n_accept"], st["save_idx"], ts, args)
 
 
-def _interp_bwd(f, tab, rtol, atol, max_steps, ctrl, bwd_substeps, res,
-                ys_bar):
+def _interp_bwd(f, tab, rtol, atol, max_steps, ctrl, bwd_substeps, dt0,
+                res, ys_bar):
     """Integrate the adjoint ODE a' = -a df/dy backwards over each
     recorded forward step, with y(t) supplied by the forward solution's
     cubic Hermite interpolant (never re-simulated — stable for
     dissipative systems where backsolve diverges). One `bwd_substeps`-
     step RK solve of the same tableau per forward step; cotangents of
     saved outputs are injected at the step boundaries they landed on
-    (the save-clipped forward guarantees saves ARE boundaries)."""
-    rec, n_acc, ts, args = res
+    (the save-clipped forward guarantees saves ARE boundaries). Save
+    rows beyond `save_idx` were filled with the final integrated state by
+    `_fill_unreached`; their cotangents are therefore summed into the
+    initial (final-time) adjoint below — the exact VJP of the fill."""
+    rec, n_acc, save_idx, ts, args = res
 
     def seg(carry, i):
         a_y, a_args = carry
@@ -589,7 +607,13 @@ def _interp_bwd(f, tab, rtol, atol, max_steps, ctrl, bwd_substeps, res,
         return (_where_tree(valid, a[0], a_y_in),
                 _where_tree(valid, a[1], a_args)), None
 
-    a_y0 = _zeros_like(_tmap(lambda b: b[0], ys_bar))
+    T = ts.shape[0]
+    unreached = jnp.arange(T) >= save_idx
+    a_y0 = _tmap(
+        lambda b: jnp.sum(
+            jnp.where(unreached.reshape((T,) + (1,) * (b.ndim - 1)),
+                      b, jnp.zeros_like(b)), axis=0),
+        ys_bar)
     a_args0 = _zeros_like(args)
     # reverse order over the n_acc recorded steps (masked tail)
     idxs = n_acc - 1 - jnp.arange(max_steps)

@@ -11,12 +11,13 @@ sequence/context parallelism — the only cross-device traffic is the
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 shard_map = jax.shard_map
 
@@ -71,6 +72,82 @@ def sharded_graybox_rhs(mesh: Mesh, dx: float, diffusivity: float,
         return fn(u, params)
 
     return rhs
+
+
+# ---------------------------------------------------------------------------
+# tensor-parallel KAN chain over the grid axis (PDE-surrogate sharding)
+# ---------------------------------------------------------------------------
+#
+# The PDE *surrogate* RHS is not a stencil: the whole grid state is one
+# KAN input vector ([402,10,402] for Schrödinger,
+# `Schrodinger_Surrogate.jl:93-96`), so halo exchange does not apply.
+# The TPU-native sharding is a tensor-parallel contraction instead:
+#
+#   layer 1 (N -> H): shard the INPUT dim. Each device holds C1/W1 rows
+#     for its grid shard, computes its partial contribution to the
+#     H-vector, and one psum over the grid axis produces the (small,
+#     replicated) hidden activation — the only collective per RHS eval.
+#   layer 2 (H -> N): shard the OUTPUT dim. Each device computes its own
+#     output rows from the replicated hidden vector; the result is the
+#     next sharded grid state. Zero communication.
+#
+# Per RK stage the wire cost is one psum of an H-vector (H=10), which
+# rides ICI; compute and HBM traffic scale as N/n_devices per chip.
+
+
+def chain_param_specs(model, axis: str = "sp") -> list[dict]:
+    """PartitionSpecs for a 2-layer KDense chain under grid-TP sharding:
+    layer-1 params sharded along the input (grid) dim, layer-2 along the
+    output (grid) dim."""
+    if len(model.layers) != 2:
+        raise ValueError("grid-TP sharding expects a 2-layer chain "
+                         f"(got {len(model.layers)} layers)")
+    l1, l2 = model.layers
+    for l in (l1, l2):
+        if getattr(l, "trainable_grid", False):
+            raise ValueError("trainable_grid is not supported sharded")
+    s1 = {"C": P(axis, None, None)}
+    if l1.use_base_act:
+        s1["W"] = P(axis, None)
+    s2 = {"C": P(None, None, axis)}
+    if l2.use_base_act:
+        s2["W"] = P(None, axis)
+    return [s1, s2]
+
+
+def shard_chain_params(mesh: Mesh, model, params, axis: str = "sp"):
+    """device_put a 2-layer chain's params with the grid-TP shardings."""
+    specs = chain_param_specs(model, axis)
+    # specs subtrees (PartitionSpec) are matched up-to params' leaves
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs)
+
+
+def chain_local_apply(model, n_shards: int, axis: str = "sp") -> Callable:
+    """Per-device body of the grid-TP chain forward, for use INSIDE a
+    shard_map whose mesh has `axis` of size `n_shards`.
+
+    Returns local(params_local, x_local) -> y_local where x/y are the
+    device-local grid shards [..., N/n] and params_local are the shards
+    described by `chain_param_specs`. Exact math parity with
+    `model.apply` up to f32 reduction order (layer 1 sums partials via
+    psum instead of one long contraction).
+    """
+    l1, l2 = model.layers
+    if l1.in_dims % n_shards or l2.out_dims % n_shards:
+        raise ValueError(
+            f"grid dims ({l1.in_dims}, {l2.out_dims}) must be divisible "
+            f"by the '{axis}' mesh axis size {n_shards}")
+    l1_loc = dataclasses.replace(l1, in_dims=l1.in_dims // n_shards)
+    l2_loc = dataclasses.replace(l2, out_dims=l2.out_dims // n_shards)
+
+    def local(params, x_loc: Array) -> Array:
+        p1, p2 = params
+        h = lax.psum(l1_loc.apply(p1, x_loc), axis)
+        return l2_loc.apply(p2, h)
+
+    return local
 
 
 def sharded_laplacian_dirichlet(mesh: Mesh, dx: float, axis: str = "sp",

@@ -405,9 +405,15 @@ def train(cfg: PINNConfig | None = None, geo: G.Geometry | None = None,
         if ckptr and cfg.checkpoint_every \
                 and epoch % max(cfg.checkpoint_every, B) < B:
             from kanodes_tpu.train.checkpoint import TrainState
+            # cfg rides along so the acceptance-gate CLI can rebuild the
+            # model and recompute diagnostics from the checkpoint alone
+            # (eval_pass_fail.py:13-20 loads the training module the
+            # same way)
             ckptr.save(TrainState(params=params, step=epoch,
                                   best_params=best["params"],
-                                  best_loss=best["loss"]))
+                                  best_loss=best["loss"],
+                                  extra={"pinn_cfg":
+                                         dataclasses.asdict(cfg)}))
 
     return {"model": model, "params": params, "best_params": best["params"],
             "best_val": best["loss"], "best_epoch": best["epoch"],

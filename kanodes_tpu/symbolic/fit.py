@@ -81,6 +81,44 @@ def fit_edge_activations(chain, params, x, *, ops=("+", "-", "*", "/"),
     return out
 
 
+def compose_edge_equations(edge_eqs: list[EdgeEquation],
+                           widths: tuple[int, int, int]):
+    """Compose PER-EDGE symbolic fits through the 2-layer KAN structure —
+    the reference's `symb_comp_getter` ("Symbolic KAN-ODE" panel of
+    Fig 4(C), `Plotting_symbolic.jl:96-140,225`): hidden node j is the
+    sum of its input-edge expressions, outputs are sums of the
+    second-layer edge expressions evaluated at those hidden values.
+
+    Returns fn(pts [N, I]) -> [N, O] (NumPy).
+    """
+    I, W, O = widths
+    table = {(e.layer, e.i, e.o): compile(e.fit.expression, "<edge>",
+                                          "eval") for e in edge_eqs}
+    env_fns = {"sin": np.sin, "cos": np.cos, "exp": np.exp,
+               "square": np.square}
+
+    def _edge(l, i, o, x):
+        env = dict(env_fns)
+        env["x0"] = x.astype(np.float64)
+        return np.broadcast_to(
+            eval(table[(l, i, o)], {"__builtins__": {}}, env),  # noqa: S307
+            x.shape)
+
+    def fn(pts: np.ndarray) -> np.ndarray:
+        pts = np.asarray(pts)
+        h = np.zeros((pts.shape[0], W))
+        for j in range(W):
+            for i in range(I):
+                h[:, j] += _edge(0, i, j, pts[:, i])
+        out = np.zeros((pts.shape[0], O))
+        for o in range(O):
+            for j in range(W):
+                out[:, o] += _edge(1, j, o, h[:, j])
+        return out
+
+    return fn
+
+
 def compact_fit(x: np.ndarray, y: np.ndarray, *,
                 ops=("+", "-", "*"), generations: int = 250,
                 seed: int = 0, **kw) -> SymbolicFit:

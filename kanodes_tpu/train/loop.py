@@ -31,9 +31,10 @@ _RUN_CHUNK_CACHE: dict = {}
 # cross-PROCESS executable cache: the axon backend re-runs the remote
 # Mosaic compile for every fresh process even with a warm XLA disk
 # cache (measured 38-70 s per fused-kernel training chunk, vs 5 s to
-# lower). Keyed by the sha256 of the lowered HLO (which bakes in every
-# closed-over constant), so a stale hit is impossible; disabled on CPU
-# (tests) where compiles are cheap and blobs are large.
+# lower). Keyed by the scrubbed-jaxpr text + closure-constant bytes
+# (see _aot_key; NOT by lowered HLO, whose text differs across
+# processes), so a stale hit is impossible; disabled on CPU (tests)
+# where compiles are cheap and blobs are large.
 _AOT_DIR = os.environ.get("KANODE_AOT_DIR",
                           os.path.expanduser("~/.cache/kanode_aot"))
 

@@ -597,9 +597,16 @@ extern "C" int symreg_fit_pareto(const double* X, const double* y, int n,
       best = e.second;
     }
   }
-  // keep the max_front LOWEST-mse members (they carry the knee)
-  if ((int)front.size() > max_front)
-    front.erase(front.begin(), front.end() - max_front);
+  // Truncate from the LARGE-size end: keep the (max_front-1) simplest
+  // members plus the final lowest-MSE one. compact_fit's
+  // shortest-within-tolerance selection needs the short-expression knee
+  // (dropping the smallest sizes could delete it); the best-MSE member
+  // anchors the tolerance band, so it is always retained.
+  if ((int)front.size() > max_front) {
+    auto best_entry = front.back();
+    front.resize(max_front - 1);
+    front.push_back(best_entry);
+  }
 
   std::string joined;
   int cnt = 0;

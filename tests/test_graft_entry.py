@@ -38,10 +38,15 @@ def _env_without_force_flag():
 
 
 def test_entry_compiles_and_runs():
+    """entry() routes through the fused Pallas multistep kernel
+    (interpret mode on CPU) and returns the [T, K, I] trajectory."""
+    import numpy as np
+
     m = _load()
     fn, args = m.entry()
     out = jax.jit(fn)(*args)
-    assert out.shape == (36, 2)
+    assert out.shape == (36, 1, 2)
+    assert bool(np.isfinite(np.asarray(out)).all())
 
 
 def test_dryrun_multichip_in_process():

@@ -200,3 +200,83 @@ def test_sharded_dirichlet_laplacian_matches_local():
     up = jnp.concatenate([jnp.asarray([0.25]), u, jnp.asarray([-0.5])])
     want = (up[2:] - 2 * up[1:-1] + up[:-2]) / dx ** 2
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# grid-TP sharded PDE-surrogate driver mode (VERDICT r2 #1)
+# ---------------------------------------------------------------------------
+
+def _tiny_surrogate_cfgs(mesh_shape):
+    from kanodes_tpu.experiments.pde_surrogate import SurrogateConfig
+    kw = dict(problem="schrodinger", data_dx=0.5, data_substeps=4,
+              substeps=4, iters=4, eval_every=2, solve_mode="shooting")
+    return SurrogateConfig(**kw), SurrogateConfig(**kw, mesh=mesh_shape)
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 2), (2, 2), (4, 2), (2, 3)])
+def test_sharded_surrogate_objectives_match_single_device(mesh_shape):
+    """Grid-TP (+ segment-dp) sharded losses/gradients/predictions equal
+    the single-device path up to f32 reduction order, on a tiny
+    Schrödinger instance (N=42 grid state, 8 shooting segments)."""
+    from kanodes_tpu.experiments import pde_surrogate as ps
+    from kanodes_tpu.pde.sharded import shard_chain_params
+
+    cfg0, cfgm = _tiny_surrogate_cfgs(mesh_shape)
+    data = ps.make_data(cfg0)
+    model = ps.make_model(cfg0, data)
+    params = model.init(jax.random.PRNGKey(0))
+
+    train_l, eval_l, predict = ps.make_fns(cfg0, model, data)
+    mesh = ps.build_mesh(cfgm)
+    train_s, eval_s, predict_s = ps.make_sharded_fns(cfgm, model, data,
+                                                     mesh)
+    params_s = shard_chain_params(mesh, model, params)
+
+    np.testing.assert_allclose(float(train_s(params_s)),
+                               float(train_l(params)), rtol=2e-6)
+    np.testing.assert_allclose(float(eval_s(params_s)),
+                               float(eval_l(params)), rtol=2e-6)
+    np.testing.assert_allclose(np.asarray(predict_s(params_s)),
+                               np.asarray(predict(params)),
+                               rtol=1e-4, atol=1e-5)
+
+    g = jax.grad(train_l)(params)
+    g_s = jax.grad(train_s)(params_s)
+    for a, b in zip(jax.tree_util.tree_leaves(g),
+                    jax.tree_util.tree_leaves(g_s)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-6)
+
+
+def test_sharded_surrogate_training_matches_single_device():
+    """End-to-end `run(SurrogateConfig(mesh=...))`: a short sharded
+    training run reproduces the single-device loss history and keeps the
+    parameter shards on their devices."""
+    from kanodes_tpu.experiments import pde_surrogate as ps
+
+    cfg0, cfgm = _tiny_surrogate_cfgs((2, 2))
+    out0 = ps.run(cfg0)
+    outm = ps.run(cfgm)
+    np.testing.assert_allclose(np.asarray(outm["loss_history"]),
+                               np.asarray(out0["loss_history"]),
+                               rtol=1e-4, atol=1e-8)
+    np.testing.assert_allclose(float(outm["best_loss"]),
+                               float(out0["best_loss"]), rtol=1e-4)
+    # layer-1 C must actually be sharded over the sp axis
+    c1 = outm["params"][0]["C"]
+    assert len(c1.sharding.device_set) >= 2
+
+
+def test_sharded_source_training_matches_single_device():
+    """`SourceConfig(sp=...)`: the halo-exchange gray-box driver path
+    (ppermute stencil + local pointwise KAN) reproduces the dense-matrix
+    single-device training losses."""
+    from kanodes_tpu.experiments import pde_source as srcmod
+
+    kw = dict(problem="fisher_kpp", iters=4, eval_every=2,
+              data_substeps=40)
+    out0 = srcmod.run(srcmod.SourceConfig(**kw))
+    outs = srcmod.run(srcmod.SourceConfig(**kw, sp=2))
+    np.testing.assert_allclose(np.asarray(outs["loss_history"]),
+                               np.asarray(out0["loss_history"]),
+                               rtol=1e-4, atol=1e-8)

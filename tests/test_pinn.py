@@ -241,3 +241,38 @@ def test_device_topk_matches_host_selection():
         L.pde_residual(phi, jnp.asarray(cand), mat)), 16)
     dev_pick = set(map(tuple, cand[np.asarray(idx)]))
     assert dev_pick == host_pick
+
+
+def test_checkpoint_driven_gate_cli(tmp_path):
+    """`diag.gates --checkpoint`: a checkpoint written by pinn.train can
+    be audited standalone — model rebuilt from the stored config, the
+    diagnostics recomputed from the restored best params, gates applied
+    (eval_pass_fail.py:13-20,73-90 parity)."""
+    from kanodes_tpu.diag import gates
+
+    tiny = PINNConfig(widths=(2, 10, 1), n_basis=6, adam_epochs=8,
+                      finetune_epochs=0, pretrain_epochs=2,
+                      pde_ramp_epochs=4, n_interior_uniform=32,
+                      n_interior_refine=16, n_interior_tip_strip=32,
+                      n_interior_tip_annulus=16, n_boundary_each=16,
+                      val_n_interior_uniform=32, val_n_interior_refine=16,
+                      val_n_interior_tip_strip=32,
+                      val_n_interior_tip_annulus=16,
+                      val_n_boundary_each=16, validation_every=4,
+                      checkpoint_every=4)
+    ckdir = str(tmp_path / "ck")
+    train(tiny, checkpoint_dir=ckdir)
+
+    res, diag = gates.evaluate_checkpoint(ckdir)
+    # structure: all five reference gates present, diagnostics recomputed
+    assert set(res["checks"]) == {"tip_ratio", "best_val", "symmetry",
+                                  "pde_residual", "finite_grid"}
+    for key in ("pde_residual_mean_abs", "symmetry_mean_abs",
+                "tip_near_far_ratio", "nonfinite_grid_points",
+                "best_val"):
+        assert key in diag
+    import numpy as np
+    assert np.isfinite(diag["pde_residual_mean_abs"])
+    # the CLI returns 0/1 per the gate outcome and prints the report
+    rc = gates.main(["--checkpoint", ckdir])
+    assert rc == (0 if res["passed"] else 1)
