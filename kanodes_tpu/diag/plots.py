@@ -109,20 +109,29 @@ def trend_plot(results: list[dict], path: str,
     train_loss}."""
     plt = _plt()
     fig, ax = plt.subplots(figsize=(5.5, 4.5), dpi=150)
-    for model, color, marker in (("kan", "tab:blue", "o"),
-                                 ("mlp", "tab:red", "s")):
-        pts = [(r["n_params"], r["train_loss"]) for r in results
-               if r["model"] == model]
+
+    def _series(model, depth):
+        return [(r["n_params"], r["train_loss"]) for r in results
+                if r["model"] == model and r.get("depth", 2) == depth]
+
+    styles = (("kan", 2, "tab:blue", "o", "KAN-ODE d=2"),
+              ("mlp", 2, "tab:red", "s", "MLP-NODE d=2"),
+              ("mlp", 3, "tab:purple", "D", "MLP-NODE d=3"))
+    for model, depth, color, marker, label in styles:
+        pts = _series(model, depth)
         if pts:
             n, l = zip(*sorted(pts))
             ax.loglog(n, l, marker + "-", color=color,
-                      label=f"{model.upper()} (this work)")
+                      label=f"{label} (this work)")
     if reference:
-        for model, color in (("kan", "tab:blue"), ("mlp", "tab:red")):
-            if model in reference:
-                n, l = zip(*sorted(reference[model].items()))
+        ref_styles = (("kan", "tab:blue", "KAN-ODE d=2"),
+                      ("mlp", "tab:red", "MLP-NODE d=2"),
+                      ("mlp_d3", "tab:purple", "MLP-NODE d=3"))
+        for key, color, label in ref_styles:
+            if key in reference:
+                n, l = zip(*sorted(reference[key].items()))
                 ax.loglog(n, l, "x--", color=color, alpha=0.5,
-                          label=f"{model.upper()} (reference)")
+                          label=f"{label} (reference)")
     n = np.asarray([60.0, 1000.0])
     ax.loglog(n, 2e2 * n ** -4.0, ":", color="gray", label=r"$N^{-4}$")
     ax.loglog(n, 1e-1 * n ** -2.0, ":", color="black", label=r"$N^{-2}$")

@@ -404,6 +404,73 @@ def run(cfg: SurrogateConfig | None = None, params=None) -> dict[str, Any]:
     return out
 
 
+def run_grid_refinement(cfg: SurrogateConfig | None = None, *,
+                        refit_points: tuple[int, ...] | None = None,
+                        verbose: bool = False) -> dict[str, Any]:
+    """Train with the efficient-kan `update_grid` cadence on a KDense
+    surrogate chain (VERDICT r2 #8): at each iteration in
+    `refit_points` (default: one refit at 10% of the budget), refit the
+    shared basis-grid span onto the normalized inputs the current
+    trajectory actually visits
+    (`sparsify/grid_refine.refine_kdense_chain_grid`, function-
+    preserving lstsq over dense per-dim grids) and rebuild the
+    jitted/fused objective with the new static grid constants.
+
+    Cadence note (mirrors `efficientkan.py:263-266` usage): refits are
+    EARLY-training events. The lstsq refit is a projection between rbf
+    spaces on different centers, so it perturbs the learned functions by
+    an O(1e-3)-relative floor — applied after convergence that floor
+    dominates; applied early it is negligible and the remaining budget
+    trains on the better-resolved grid.
+
+    Returns the final run() dict plus `refits` (per-refit span + refit
+    error + eval losses before/after).
+    """
+    cfg = cfg or SurrogateConfig(problem="allen_cahn")
+    from kanodes_tpu.sparsify.grid_refine import refine_kdense_chain_grid
+
+    if refit_points is None:
+        refit_points = (max(cfg.iters // 10, 1),)
+    data = make_data(cfg)
+    model = make_model(cfg, data)
+    params = model.init(jax.random.PRNGKey(cfg.seed))
+
+    bounds = [p for p in sorted(refit_points) if p < cfg.iters]
+    blocks = np.diff([0] + bounds + [cfg.iters]).tolist()
+
+    losses, evals, refits = [], [], []
+    for bi, iters_b in enumerate(blocks):
+        cfg_block = dataclasses.replace(cfg, iters=int(iters_b))
+        train_loss, eval_loss, predict = make_fns(cfg_block, model, data)
+        tc = TrainConfig(lr=cfg.resolved_lr(), iters=int(iters_b),
+                         eval_every=min(cfg.eval_every, int(iters_b)),
+                         max_iters_per_call=cfg.resolved_chunk())
+        out = train(train_loss, params, tc, eval_fn=eval_loss)
+        params = out["params"]
+        losses.append(np.asarray(out["loss_history"]))
+        evals.append(np.asarray(out["eval_history"]))
+        if bi < len(blocks) - 1:
+            samples = jnp.asarray(predict(params))
+            before = float(eval_loss(params))
+            model, params, info = refine_kdense_chain_grid(
+                model, params, samples)
+            _, eval_new, _ = make_fns(cfg_block, model, data)
+            after = float(eval_new(params))
+            info.update(eval_before=before, eval_after=after)
+            refits.append(info)
+            if verbose:
+                print(f"[refit @{sum(blocks[:bi + 1])}] lims "
+                      f"{info['old_lims']} -> {info['new_lims']}, eval "
+                      f"{before:.3e} -> {after:.3e} (refit err "
+                      f"{info['relative_refit_error']})", flush=True)
+
+    out.update(cfg=cfg, model=model, data=data,
+               refits=refits,
+               loss_history=np.concatenate(losses),
+               eval_history=np.concatenate(evals))
+    return out
+
+
 if __name__ == "__main__":
     import sys
     import time

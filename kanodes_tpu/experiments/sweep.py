@@ -26,10 +26,16 @@ from jax import lax
 
 from kanodes_tpu.experiments import lv as lv_mod
 
-# the reference's published sweep points (trend_plotter.py:7-11)
+# the reference's published sweep points (trend_plotter.py:7-14).
+# "d" in trend_plotter's labels is network DEPTH, not species count:
+# the d=2 sizes are one-hidden-layer [2,h,2] MLPs (52/252/502 params at
+# h=10/50/100) and the d=3 sizes are two-hidden-layer [2,h,h,2] MLPs —
+# h^2+6h+2 gives exactly 29/57/114/162/522 at h=3/5/8/10/20.
 REFERENCE_KAN_TREND = {64: 1.4e-4, 80: 5.2e-5, 96: 1.2e-4, 120: 1.9e-5,
                        144: 1.6e-5, 240: 8.3e-7, 480: 6.6e-7, 960: 6.1e-7}
 REFERENCE_MLP_TREND = {52: 4.7e-4, 252: 4.14e-5, 502: 1.6e-5}
+REFERENCE_MLP3_TREND = {29: 2.0e-4, 57: 2.6e-4, 114: 3.6e-5,
+                        162: 3.7e-5, 522: 2.96e-5}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -38,6 +44,10 @@ class SweepPoint:
     layer_width: int = 10
     grid_size: int = 5
     mlp_hidden: int = 50
+    mlp_depth: int = 2          # trend_plotter's "d": hidden layers + 1
+
+    def mlp_widths(self) -> tuple[int, ...]:
+        return (2,) + (self.mlp_hidden,) * (self.mlp_depth - 1) + (2,)
 
 
 # KAN sweep matching the reference's param counts:
@@ -57,6 +67,13 @@ MLP_SWEEP = (
     SweepPoint("mlp", mlp_hidden=50),                 # 252
     SweepPoint("mlp", mlp_hidden=100),                # 502
 )
+MLP3_SWEEP = (
+    SweepPoint("mlp", mlp_hidden=3, mlp_depth=3),     # 29
+    SweepPoint("mlp", mlp_hidden=5, mlp_depth=3),     # 57
+    SweepPoint("mlp", mlp_hidden=8, mlp_depth=3),     # 114
+    SweepPoint("mlp", mlp_hidden=10, mlp_depth=3),    # 162
+    SweepPoint("mlp", mlp_hidden=20, mlp_depth=3),    # 522
+)
 
 
 def train_point(point: SweepPoint, *, shooting_iters: int = 10_000,
@@ -69,7 +86,7 @@ def train_point(point: SweepPoint, *, shooting_iters: int = 10_000,
     base = lv_mod.LVConfig(model=point.model,
                            layer_width=point.layer_width,
                            grid_size=point.grid_size,
-                           mlp_widths=(2, point.mlp_hidden, 2),
+                           mlp_widths=point.mlp_widths(),
                            impl=impl,
                            init_scale=1e-5 if point.model == "kan" else 1.0)
     data = lv_mod.make_data(base)
@@ -110,6 +127,7 @@ def train_point(point: SweepPoint, *, shooting_iters: int = 10_000,
     loss_fn, eval_fn, _ = lv_mod.make_ode_fns(eval_cfg, model, data)
     return {
         "model": point.model,
+        "depth": point.mlp_depth if point.model == "mlp" else 2,
         "n_params": n_params,
         "train_loss": float(loss_fn(params)),
         "test_loss": float(eval_fn(params)),

@@ -40,11 +40,15 @@ def l2_reg(params, weight: float = 1.0) -> Array:
 
 def spline_smoothness_reg(kan_params, weight: float = 1.0) -> Array:
     """Second-difference penalty along each edge's grid coefficients
-    (optimized_kan.py:218-233). Expects KANChain params: a list of dicts
-    with C: [I, G, O]."""
+    (optimized_kan.py:218-233). Accepts chain params as a list of dicts
+    with the spline tensor under "C" (KDense, [I, G, O]) or "coeff"
+    (B-spline layers, [I, G+k, O]) — the penalty runs over the middle
+    (grid) axis either way."""
     total = 0.0
     for p in kan_params:
-        C = p["C"]
+        C = p["C"] if "C" in p else p.get("coeff")
+        if C is None:
+            continue
         d2 = C[:, 2:, :] - 2.0 * C[:, 1:-1, :] + C[:, :-2, :]
         total = total + jnp.sum(d2 * d2)
     return weight * total

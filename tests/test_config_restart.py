@@ -32,6 +32,7 @@ def test_tuple_override():
     assert cfg.mlp_widths == (2, 20, 2)
 
 
+@pytest.mark.slow
 def test_checkpoint_restart_prune(tmp_path):
     """The reference's is_restart / is_prune flow
     (LV_driver_KANODE.jl:18-25,146-170) end to end."""

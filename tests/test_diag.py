@@ -145,3 +145,89 @@ def test_symbolic_error_contours(tmp_path):
     symbolic_error_contours(kan_rhs, exprs, truth, ((0.1, 4), (0.1, 4)),
                             str(tmp_path / "e.png"), n=30)
     assert (tmp_path / "e.png").exists()
+
+
+def test_contour_compare_reference_panels(tmp_path):
+    """Fig 4(C) parity: all ten reference-named PNG panels (truth + kan/
+    mlp/symb/symb_comp errors per dim) are produced, stats returned."""
+    import jax
+    import jax.numpy as jnp
+    from kanodes_tpu.diag.plots import contour_compare
+    from kanodes_tpu.models import KANChain
+    from kanodes_tpu.models.mlp import MLP
+
+    kan = KANChain.mlp_like([2, 3, 2], grid_len=4)
+    pk = kan.init(jax.random.PRNGKey(0))
+    mlp = MLP((2, 8, 2))
+    pm = mlp.init(jax.random.PRNGKey(1))
+
+    def truth(pts):
+        x, y = pts[:, 0], pts[:, 1]
+        return np.stack([1.5 * x - x * y, x * y - 3.0 * y], 1)
+
+    stats = contour_compare(
+        truth, lambda p: kan.apply(pk, p), lambda p: mlp.apply(pm, p),
+        ["1.5*x0 - x0*x1", "x0*x1 - 3.0*x1"], str(tmp_path), n=24,
+        trajectory=np.asarray([[1.0, 1.0], [2.0, 0.5]]),
+        sym_comp_rhs=lambda p: truth(np.asarray(p)))
+    import os
+    names = {f"{d}_{k}" for d in ("xdot", "ydot")
+             for k in ("actual", "kan", "mlp", "symb", "symb_comp")}
+    assert set(stats) == names
+    for nm in names:
+        assert os.path.exists(tmp_path / f"{nm}.png")
+    # the global symbolic expressions here ARE the truth -> zero error
+    assert stats["xdot_symb"] < 1e-5 and stats["ydot_symb"] < 1e-5
+
+
+def test_activation_symbolic_overlays_reference_names(tmp_path):
+    """Fig 4(A-B) parity: learned + *_symb_* per-activation files with
+    the reference names, plus combined overlay panels."""
+    import jax
+    import jax.numpy as jnp
+    from kanodes_tpu.diag.plots import activation_symbolic_overlays
+    from kanodes_tpu.models import KANChain
+    from kanodes_tpu.symbolic.engine import SymbolicFit
+    from kanodes_tpu.symbolic.fit import EdgeEquation
+
+    chain = KANChain.mlp_like([2, 3, 2], grid_len=4)
+    params = chain.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0).uniform(0.3, 4.0, (40, 2)),
+                    jnp.float32)
+    eqs = []
+    for l, (I, O) in enumerate(((2, 3), (3, 2))):
+        for i in range(I):
+            for o in range(O):
+                eqs.append(EdgeEquation(
+                    l, i, o, SymbolicFit("0.5*x0", 0.0, 3), "0.5*x0"))
+    files = activation_symbolic_overlays(chain, params, x, eqs,
+                                         str(tmp_path))
+    expected = {"X1.png", "Y1.png", "X_symb_1.png", "Y_symb_1.png",
+                "second_1_to_X.png", "second_symb_1_to_X.png",
+                "second_3_to_Y.png", "second_symb_3_to_Y.png",
+                "overlay_layer1.png", "overlay_layer2.png"}
+    assert expected.issubset(set(files))
+
+
+def test_compose_edge_equations():
+    """Per-edge symbolic composition reproduces the layer-sum semantics
+    (symb_comp_getter, Plotting_symbolic.jl:96-140)."""
+    from kanodes_tpu.symbolic.engine import SymbolicFit
+    from kanodes_tpu.symbolic.fit import (EdgeEquation,
+                                          compose_edge_equations)
+
+    # layer 1: h_j = sum_i f_ij(x_i) with f_ij(x) = (j+1)*x for i=0,
+    # 0 for i=1; layer 2: y_o = sum_j g_jo(h_j), g_jo(h) = h
+    eqs = []
+    for j in range(2):
+        eqs.append(EdgeEquation(0, 0, j,
+                                SymbolicFit(f"{j + 1}*x0", 0.0, 3), ""))
+        eqs.append(EdgeEquation(0, 1, j, SymbolicFit("0*x0", 0.0, 3), ""))
+        for o in range(2):
+            eqs.append(EdgeEquation(1, j, o,
+                                    SymbolicFit("x0", 0.0, 1), ""))
+    fn = compose_edge_equations(eqs, (2, 2, 2))
+    pts = np.asarray([[1.0, 5.0], [2.0, -1.0]])
+    out = fn(pts)
+    # h = [x, 2x]; y_o = h_0 + h_1 = 3x for both outputs
+    np.testing.assert_allclose(out, np.stack([3 * pts[:, 0]] * 2, 1))

@@ -13,6 +13,7 @@ import subprocess
 import sys
 
 import jax
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -55,6 +56,7 @@ def test_dryrun_multichip_in_process():
     m.dryrun_multichip(min(4, len(jax.devices())))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_driver_sim():
     """Fresh process, NO device-count flag, straight to dryrun(8) —
     the exact driver invocation that failed in round 1."""
@@ -67,6 +69,7 @@ def test_dryrun_multichip_driver_sim():
     assert "dryrun_multichip ok" in res.stdout
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_after_backend_init():
     """Process whose CPU backend is already initialized with 1 device:
     dryrun_multichip must fall back to a clean subprocess re-exec."""

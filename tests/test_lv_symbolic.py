@@ -1,11 +1,13 @@
 """LV symbolic pipeline smoke (tiny budget on CPU)."""
 
 import numpy as np
+import pytest
 
 from kanodes_tpu.experiments.lv_symbolic import (SymbolicPipelineConfig,
                                                  run_pipeline)
 
 
+@pytest.mark.slow
 def test_pipeline_end_to_end_tiny():
     cfg = SymbolicPipelineConfig(sparse_iters=300, retrain_iters=200,
                                  prune_threshold=1e-3,

@@ -86,6 +86,7 @@ def test_sharded_laplacian_matches_local():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow
 def test_sharded_graybox_gradients_match_local():
     from kanodes_tpu.pde.sharded import sharded_graybox_rhs
     mesh = _mesh_sp()
@@ -213,7 +214,12 @@ def _tiny_surrogate_cfgs(mesh_shape):
     return SurrogateConfig(**kw), SurrogateConfig(**kw, mesh=mesh_shape)
 
 
-@pytest.mark.parametrize("mesh_shape", [(1, 2), (2, 2), (4, 2), (2, 3)])
+@pytest.mark.parametrize("mesh_shape", [
+    (2, 2),
+    pytest.param((1, 2), marks=pytest.mark.slow),
+    pytest.param((4, 2), marks=pytest.mark.slow),
+    pytest.param((2, 3), marks=pytest.mark.slow),
+])
 def test_sharded_surrogate_objectives_match_single_device(mesh_shape):
     """Grid-TP (+ segment-dp) sharded losses/gradients/predictions equal
     the single-device path up to f32 reduction order, on a tiny
@@ -248,6 +254,7 @@ def test_sharded_surrogate_objectives_match_single_device(mesh_shape):
                                    rtol=1e-3, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_surrogate_training_matches_single_device():
     """End-to-end `run(SurrogateConfig(mesh=...))`: a short sharded
     training run reproduces the single-device loss history and keeps the

@@ -103,7 +103,8 @@ class TestSurrogateExperiments:
 
     @pytest.mark.parametrize("problem,substeps,rtol", [
         ("burgers", 4, 2e-5),        # narrow fused path
-        ("schrodinger", 2, 2e-4),    # wide (grid-sliced) fused path
+        pytest.param("schrodinger", 2, 2e-4,
+                     marks=pytest.mark.slow),   # wide (grid-sliced) path
     ])
     def test_fused_single_launch_trajectory_parity(self, problem, substeps,
                                                    rtol):
@@ -177,3 +178,56 @@ class TestSurrogateExperiments:
         assert bool(jnp.isfinite(l))
         assert all(bool(jnp.all(jnp.isfinite(x)))
                    for x in jax.tree_util.tree_leaves(g))
+
+
+@pytest.mark.slow
+def test_grid_refinement_kdense_chain_preserves_function():
+    """VERDICT r2 #8: the KDense-chain grid refit concentrates the basis
+    span onto visited normalized inputs while preserving the learned
+    function (lstsq refit), and training continues across the rebuild."""
+    import numpy as np
+    from kanodes_tpu.experiments.pde_surrogate import (SurrogateConfig,
+                                                       run_grid_refinement)
+
+    cfg = SurrogateConfig(problem="allen_cahn", kan_grid=5, iters=400,
+                          eval_every=100, substeps=4,
+                          solve_mode="shooting", data_substeps=4)
+    out = run_grid_refinement(cfg, refit_points=(60,))
+    assert len(out["refits"]) == 1
+    ref = out["refits"][0]
+    old_span = ref["old_lims"][1] - ref["old_lims"][0]
+    new_span = ref["new_lims"][1] - ref["new_lims"][0]
+    assert new_span < old_span          # concentrated onto visited range
+    # refit preserves the trained function: per-layer relative lstsq
+    # error small, and the eval loss moves only marginally at this
+    # early-training point (the documented cadence contract)
+    assert all(e < 1e-3 for e in ref["relative_refit_error"])
+    assert ref["eval_after"] < 3 * ref["eval_before"]
+    assert np.isfinite(out["loss_history"]).all()
+    # training continues productively on the refined grid
+    assert float(out["loss_history"][-1]) < ref["eval_before"]
+
+
+def test_grid_refine_helper_roundtrip():
+    """refine_kdense_chain_grid on random params: new chain evaluates,
+    spline part preserved on the sample range."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from kanodes_tpu.models import KANChain
+    from kanodes_tpu.sparsify.grid_refine import refine_kdense_chain_grid
+
+    chain = KANChain.mlp_like([3, 6, 3], grid_len=7)
+    params = chain.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 0.4, (64, 3)),
+                    jnp.float32)
+    y_old = chain.apply(params, x)
+    new_chain, new_params, info = refine_kdense_chain_grid(chain, params, x)
+    y_new = new_chain.apply(new_params, x)
+    # random glorot chains are the projection-error worst case (max
+    # frequency content on a nearly full span); the intrinsic floor for
+    # re-expressing one rbf basis in another is ~1e-2 sup here
+    scale = float(np.abs(np.asarray(y_old)).max())
+    assert float(np.abs(np.asarray(y_new) - np.asarray(y_old)).max()) \
+        < 0.05 * scale
+    assert all(e < 1e-3 for e in info["relative_refit_error"])

@@ -187,6 +187,7 @@ class TestTraining:
         assert res["checks"]["finite_grid"]["ok"]
 
 
+@pytest.mark.slow
 def test_adaptive_residual_resampling():
     from kanodes_tpu.pinn.train import adaptive_residual_points
     from kanodes_tpu.pinn import losses as L
@@ -243,6 +244,7 @@ def test_device_topk_matches_host_selection():
     assert dev_pick == host_pick
 
 
+@pytest.mark.slow
 def test_checkpoint_driven_gate_cli(tmp_path):
     """`diag.gates --checkpoint`: a checkpoint written by pinn.train can
     be audited standalone — model rebuilt from the stored config, the

@@ -99,6 +99,7 @@ def test_multistep_matches_scanned_steps(setup):
         np.testing.assert_allclose(ys[s], x, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_multistep_gradients_match_scan(setup):
     from kanodes_tpu.ops.rk_fused import fused_rk_multistep
     chain, params, spec = setup

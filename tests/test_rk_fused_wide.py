@@ -96,6 +96,7 @@ def test_wide_multistep_matches_stepwise(wide_setup):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_wide_multistep_full_history_cotangents(wide_setup):
     """Trajectory-style loss touching EVERY saved state flows correct
     cotangents through the single backward launch."""

@@ -176,3 +176,39 @@ def test_datagen_truth_cross_validated_by_implicit_solver():
         rel_s = (np.linalg.norm(np.asarray(ys_s[-1]) - truth_s[-1])
                  / np.linalg.norm(truth_s[-1]))
         assert rel_s <= 1e-8, rel_s
+
+
+def test_truth_data_validates_against_stiff_solver():
+    """VERDICT r2 #7: the host fine-step RK4 truth for the AC/Schrödinger
+    surrogates matches an INDEPENDENT Kvaerno3 ESDIRK solve of the same
+    semi-discretization far below every training-MSE claim (the
+    reference generated this truth with stiff solvers,
+    Allen-Cahn_Surrogate.jl:63, Schrodinger_Surrogate.jl:69). Runs in a
+    subprocess so float64 can be enabled without leaking into the
+    session-wide x32 config."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import jax;"
+        "jax.config.update('jax_platforms','cpu');"
+        "jax.config.update('jax_enable_x64',True);"
+        "import json;"
+        "from kanodes_tpu.pde.datagen import validate_truth_against_stiff;"
+        "ac=validate_truth_against_stiff('allen_cahn_surrogate',dx=0.1);"
+        "sc=validate_truth_against_stiff('schrodinger',dx=0.5,"
+        "rtol=1e-10,atol=1e-12);"
+        "print(json.dumps({'ac':ac,'sc':sc}))")
+    res = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, timeout=600,
+                         cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+    assert res.returncode == 0, res.stderr[-2000:]
+    out = json.loads(res.stdout.strip().splitlines()[-1])
+    # measured: AC 5.8e-17 MSE, Schrödinger 2.4e-19 MSE — assert an
+    # order of magnitude of slack while staying far below the training
+    # floors (best snapshot MSEs ~1.9e-14 / 3.9e-14)
+    assert out["ac"]["mse"] < 1e-15
+    assert out["sc"]["mse"] < 1e-17

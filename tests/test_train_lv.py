@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from kanodes_tpu.experiments.lv import (LVConfig, make_data, make_model,
                                         make_ode_fns, init_params, run,
@@ -144,6 +145,7 @@ def test_lv_bspline_default_init_keeps_grid():
     assert gnorm > 0.0                           # spline branch trainable
 
 
+@pytest.mark.slow
 def test_lv_grid_refinement_flow():
     """Train -> update_grid -> keep training: knots move onto the data
     distribution while the refit preserves the learned function."""
