@@ -35,6 +35,12 @@ class SymbolicPipelineConfig:
     act_reg: float = 5e-4                  # :199-201
     sr_generations: int = 300
     sr_restarts: int = 3
+    # operator set for the PER-EDGE fits. The default mirrors
+    # Symbolic_reg.jl:147; pass ("+", "-", "*") for pole-free
+    # polynomial edge fits when the expressions will be COMPOSED over a
+    # wide mesh (rational fits extrapolate with poles — same rationale
+    # as pde_source.recover_source's polynomial default)
+    edge_ops: tuple = ("+", "-", "*", "/")
     seed: int = 0
 
 
@@ -90,7 +96,7 @@ def run_pipeline(cfg: SymbolicPipelineConfig | None = None,
         simplify_expression
 
     edge_eqs = fit_edge_activations(
-        model_p, params_p, X_train,
+        model_p, params_p, X_train, ops=cfg.edge_ops,
         generations=cfg.sr_generations // 2, seed=cfg.seed)
 
     # -- 3b. global 2-var fits of the learned RHS ------------------------

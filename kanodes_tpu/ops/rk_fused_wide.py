@@ -88,6 +88,7 @@ class WideSpec:
     def collapse_small(self, n: int) -> np.ndarray:
         return self.expand_small(n).T.copy()
 
+
     # parameter padding -----------------------------------------------------
     def pad_params(self, c1, w1, c2, w2):
         """c1 [I*G, H] (rows i*G+g) -> [G*Ipad, H] grouped BY GRID NODE
@@ -124,6 +125,21 @@ def _wide_basis(ws: WideSpec, xn):
     return jnp.concatenate(bs, axis=1)
 
 
+def _wide_basis_db(ws: WideSpec, xn):
+    """(B, dB) with dB = dB/dxn = -2/h * u * B — dB is consumed by the
+    backward's dx-path, so building it here (batched in the window
+    rebuild, off the critical path) halves the per-node FMA loop body
+    of the sequential reverse chain."""
+    inv_h = 1.0 / ws.spec.h
+    bs, dbs = [], []
+    for gv in ws.grid_values():
+        u = (xn - gv) * inv_h
+        b = jnp.exp(-(u * u))
+        bs.append(b)
+        dbs.append((-2.0 * inv_h) * u * b)
+    return jnp.concatenate(bs, axis=1), jnp.concatenate(dbs, axis=1)
+
+
 def _wide_layer1_fwd(ws: WideSpec, x, c1, w1):
     """Wide-input layer as ONE long-contraction GEMM: x [K, Ipad] ->
     y1 [K, H] via [K, G*Ipad] x [G*Ipad, H] (grid values are static, so
@@ -150,13 +166,13 @@ def _chain_f_wide(ws, x, c1, w1, c2, w2, gsm, esm):
 
 
 def _chain_vjp_wide_dx(ws, x, y1, c1, w1, c2, w2, gsm, esm, ssm, gy,
-                       B=None):
+                       B=None, dB=None):
     """dx-path of the chain VJP. Parameter cotangents are DEFERRED:
     returns (dx, dy1, B, b2) so the caller can batch every stage's
     dc1/dw1/dc2/dw2 into ONE GEMM each per RK step — the per-stage
     param GEMMs are tiny-contraction/tile-latency-bound and dominated
-    the backward kernel. Pass the stage's basis `B` from the rebuild
-    phase to skip recomputing it."""
+    the backward kernel. Pass the stage's (B, dB) from the rebuild
+    phase to skip recomputing them."""
     h = ws.spec.h
     # small layer dx-path
     xn2 = _norm(y1, ws.spec.normalizer)
@@ -168,47 +184,59 @@ def _chain_vjp_wide_dx(ws, x, y1, c1, w1, c2, w2, gsm, esm, ssm, gy,
     dxn2 = _dot(drep, ssm)
     dy1 = dxn2 * _dnorm(y1, ws.spec.normalizer) \
         + _dot(gy, w2.T) * _dswish(y1)
-    # wide layer dx-path
+    # wide layer dx-path: per-node FMA loop over the precomputed dB
+    # slices. (A [G*Ipad, Ipad] 0/1 collapse GEMM was tried instead and
+    # REGRESSED 4x: at K<=8 that GEMM is MXU weight-streaming-bound —
+    # 160 tile passes per stage — while the VPU loop is ~10 cheap
+    # [K, Ipad] FMAs.)
+    if B is None or dB is None:
+        B, dB = _wide_basis_db(ws, _norm(x, ws.spec.normalizer))
     Ipad = ws.Ipad
-    inv_h = 1.0 / h
-    xn = _norm(x, ws.spec.normalizer)
-    if B is None:
-        B = _wide_basis(ws, xn)
     m = _dot(dy1, c1.T)                                # [K, G*Ipad]
+    mdB = m * dB
     dxn = jnp.zeros_like(x)
-    for g, gv in enumerate(ws.grid_values()):
-        u = (xn - gv) * inv_h
-        sl = slice(g * Ipad, (g + 1) * Ipad)
-        dxn = dxn + m[:, sl] * (-2.0 * inv_h) * u * B[:, sl]
+    for g in range(ws.G):
+        dxn = dxn + mdB[:, g * Ipad:(g + 1) * Ipad]
     dx = dxn * _dnorm(x, ws.spec.normalizer) \
         + _dot(dy1, w1.T) * _dswish(x)
     return dx, dy1, B, b2
 
 
-def _chain_vjp_wide_dx_pre(ws, x, y1, B, u2, b2, c1, w1, c2, w2, ssm,
-                           gy):
+def _tree_collapse(mdB, G: int, Ipad: int):
+    """Sum the G contiguous [K, Ipad] blocks of mdB in log depth (the
+    naive accumulation is G serialized VPU adds on the critical path;
+    halving block counts with progressively wider adds issues ~log2(G)
+    ops instead — lane width is nearly free, issue slots are not)."""
+    cur, n, carry = mdB, G, None
+    while n > 1:
+        if n % 2:
+            last = cur[:, (n - 1) * Ipad:n * Ipad]
+            carry = last if carry is None else carry + last
+            n -= 1
+        half = n // 2
+        cur = cur[:, :half * Ipad] + cur[:, half * Ipad:n * Ipad]
+        n = half
+    out = cur[:, :Ipad]
+    return out + carry if carry is not None else out
+
+
+def _chain_vjp_wide_dx_pre(ws, st, i, rows, cm1, cm2, ssm, gy):
     """dx-path of the chain VJP with ALL forward intermediates
-    precomputed (B from the wide layer, u2/b2 from the small layer) —
-    used by the window-batched multistep backward, where the rebuild
-    runs once per window at [W*K, ...] and this per-step chain only
-    does the irreducibly sequential work."""
-    h = ws.spec.h
-    m2 = _dot(gy, c2.T)
-    drep = m2 * (-2.0 * u2 * b2) * (1.0 / h)
+    precomputed by `_window_rebuild` (st dict, stage i, row slice) —
+    the sequential chain is pure cotangent algebra: 3 GEMMs (merged
+    weight transposes cm2 = [c2|w2]^T, cm1 = [c1|w1]^T) plus ~8 VPU
+    ops per stage, with the per-node collapse tree-reduced."""
+    HG = ws.H * ws.G
+    t2 = _dot(gy, cm2)                                 # [K, H*G + H]
+    drep = t2[:, :HG] * st["D2s"][i][rows]
     dxn2 = _dot(drep, ssm)
-    dy1 = dxn2 * _dnorm(y1, ws.spec.normalizer) \
-        + _dot(gy, w2.T) * _dswish(y1)
+    dy1 = dxn2 * st["dny1s"][i][rows] + t2[:, HG:] * st["dsy1s"][i][rows]
     Ipad = ws.Ipad
-    inv_h = 1.0 / h
-    xn = _norm(x, ws.spec.normalizer)
-    m = _dot(dy1, c1.T)                                # [K, G*Ipad]
-    dxn = jnp.zeros_like(x)
-    for g, gv in enumerate(ws.grid_values()):
-        u = (xn - gv) * inv_h
-        sl = slice(g * Ipad, (g + 1) * Ipad)
-        dxn = dxn + m[:, sl] * (-2.0 * inv_h) * u * B[:, sl]
-    dx = dxn * _dnorm(x, ws.spec.normalizer) \
-        + _dot(dy1, w1.T) * _dswish(x)
+    GI = ws.G * Ipad
+    t1 = _dot(dy1, cm1)                                # [K, G*Ipad + Ipad]
+    mdB = t1[:, :GI] * st["dBs"][i][rows]
+    dxn = _tree_collapse(mdB, ws.G, Ipad)
+    dx = dxn * st["dnxs"][i][rows] + t1[:, GI:] * st["dsxs"][i][rows]
     return dx, dy1
 
 
@@ -216,27 +244,42 @@ def _window_rebuild(ws, tab, dt, needed, Xb, c1, w1, c2, w2, gsm, esm):
     """Batched stage rebuild for a whole WINDOW of steps at once: steps
     are independent given their stored input states, so one pass over
     the stages at [W*K, ...] replaces W sequential per-step rebuilds.
-    Returns per-stage (xs, y1s, Bs, u2s, b2s) lists (None where the
-    stage is pruned)."""
-    ks = [None] * tab.stages
-    xs = [None] * tab.stages
-    y1s = [None] * tab.stages
-    Bs = [None] * tab.stages
-    u2s = [None] * tab.stages
-    b2s = [None] * tab.stages
-    for i in range(tab.stages):
+
+    Returns a dict of per-stage lists (None where the stage is pruned):
+      xs, y1s, Bs, b2s      — forward intermediates (param-GEMM operands)
+      dBs                   — wide-basis derivative for the dx collapse
+      D2s = -2/h * u2 * b2  — small-layer basis-derivative factor
+      dnxs/dsxs, dny1s/dsy1s — dnorm/dswish of x and y1
+    Everything a backward stage needs besides its COTANGENT is computed
+    here, batched, so the sequential chain is pure cotangent algebra
+    (every hoisted term removes serialized VPU issue slots from the
+    critical path, which is what bounds K=1 trajectory mode)."""
+    h = ws.spec.h
+    S = tab.stages
+    out = {k: [None] * S for k in ("xs", "y1s", "Bs", "dBs", "b2s",
+                                   "D2s", "dnxs", "dsxs", "dny1s",
+                                   "dsy1s")}
+    ks = [None] * S
+    for i in range(S):
         if not needed[i]:
             continue
         xi = Xb
         for j in range(i):
             if tab.a[i][j] != 0.0 and ks[j] is not None:
                 xi = xi + (dt * tab.a[i][j]) * ks[j]
-        xs[i] = xi
-        Bs[i] = _wide_basis(ws, _norm(xi, ws.spec.normalizer))
-        y1s[i] = _dot(_swish(xi), w1) + _dot(Bs[i], c1)
-        ks[i], u2s[i], b2s[i] = _small_layer_fwd(ws, y1s[i], c2, w2,
-                                                 gsm, esm)
-    return xs, y1s, Bs, u2s, b2s
+        out["xs"][i] = xi
+        B, dB = _wide_basis_db(ws, _norm(xi, ws.spec.normalizer))
+        out["Bs"][i], out["dBs"][i] = B, dB
+        y1 = _dot(_swish(xi), w1) + _dot(B, c1)
+        out["y1s"][i] = y1
+        ks[i], u2, b2 = _small_layer_fwd(ws, y1, c2, w2, gsm, esm)
+        out["b2s"][i] = b2
+        out["D2s"][i] = (-2.0 / h) * u2 * b2
+        out["dnxs"][i] = _dnorm(xi, ws.spec.normalizer)
+        out["dsxs"][i] = _dswish(xi)
+        out["dny1s"][i] = _dnorm(y1, ws.spec.normalizer)
+        out["dsy1s"][i] = _dswish(y1)
+    return out
 
 
 def _step_adjoint_wide_collect(ws, tab, dt, needed, x, xbar, c1, w1, c2,
@@ -252,6 +295,7 @@ def _step_adjoint_wide_collect(ws, tab, dt, needed, x, xbar, c1, w1, c2,
     xs = [None] * tab.stages
     y1s = [None] * tab.stages
     Bsaved = [None] * tab.stages
+    dBsaved = [None] * tab.stages
     for i in range(tab.stages):
         if not needed[i]:
             continue
@@ -260,7 +304,8 @@ def _step_adjoint_wide_collect(ws, tab, dt, needed, x, xbar, c1, w1, c2,
             if tab.a[i][j] != 0.0 and ks[j] is not None:
                 xi = xi + (dt * tab.a[i][j]) * ks[j]
         xs[i] = xi
-        Bsaved[i] = _wide_basis(ws, _norm(xi, ws.spec.normalizer))
+        Bsaved[i], dBsaved[i] = _wide_basis_db(
+            ws, _norm(xi, ws.spec.normalizer))
         y1s[i] = _dot(_swish(xi), w1) + _dot(Bsaved[i], c1)
         ks[i], _, _ = _small_layer_fwd(ws, y1s[i], c2, w2, gsm, esm)
 
@@ -274,8 +319,8 @@ def _step_adjoint_wide_collect(ws, tab, dt, needed, x, xbar, c1, w1, c2,
         if not needed[i] or kbar[i] is None:
             continue
         dxi, dy1_i, B_i, b2_i = _chain_vjp_wide_dx(
-            ws, xs[i], y1s[i], c1, w1, c2, w2, gsm, esm, ssm, kbar[i],
-            B=Bsaved[i])
+            ws, xs[i], y1s[i], c1, w1, c2, w2, gsm, esm, ssm,
+            kbar[i], B=Bsaved[i], dB=dBsaved[i])
         Bs.append(B_i)
         b2s.append(b2_i)
         dy1s.append(dy1_i)
@@ -450,8 +495,10 @@ def _wide_multistep_fwd_kernel(ws, tab, dt, needed, n_steps,
 
 def _wide_multistep_bwd_kernel(ws, tab, dt, needed, n_steps, window,
                                x0_ref, ys_ref, c1_ref, w1_ref, c2_ref,
-                               w2_ref, gsm_ref, esm_ref, ssm_ref, gys_ref,
-                               dx_ref, dc1_ref, dw1_ref, dc2_ref, dw2_ref):
+                               w2_ref, gsm_ref, esm_ref, ssm_ref,
+                               gys_ref,
+                               dx_ref, dc1_ref, dw1_ref, dc2_ref, dw2_ref,
+                               d_scr, k_scr):
     """Reverse sweep over the stored per-step states (discrete adjoint),
     folding in the cotangent of every saved state.
 
@@ -466,63 +513,90 @@ def _wide_multistep_bwd_kernel(ws, tab, dt, needed, n_steps, window,
     c1, w1, c2, w2 = c1_ref[:], w1_ref[:], c2_ref[:], w2_ref[:]
     gsm, esm, ssm = gsm_ref[:], esm_ref[:], ssm_ref[:]
     K = x0_ref.shape[0]
+    # merged weight transposes, built once per launch (3 GEMMs/stage on
+    # the sequential chain instead of 5)
+    cm2 = jnp.concatenate([c2.T, w2.T], axis=1)       # [Opad, H*G+H]
+    cm1 = jnp.concatenate([c1.T, w1.T], axis=1)       # [H, G*Ipad+Ipad]
 
     def body(wi, carry):
         xbar, dc1, dw1, dc2, dw2 = carry
-        # ---- batched rebuild over the window's steps ----
-        x_ins = []
-        for u in range(window):
-            s = n_steps - 1 - (wi * window + u)
-            x_ins.append(jnp.where(s == 0, x0_ref[:],
-                                   ys_ref[jnp.maximum(s - 1, 0)]))
-        Xb = jnp.concatenate(x_ins, axis=0)            # [W*K, Ipad]
-        xs, y1s, Bs, u2s, b2s = _window_rebuild(
-            ws, tab, dt, needed, Xb, c1, w1, c2, w2, gsm, esm)
+        # ---- ONE contiguous block read per buffer per window (the
+        # former per-step dynamic row gathers + 8-way concats measured
+        # 4.9 us/step by themselves). Rows are kept in ASCENDING step
+        # order; the reverse sweep just remaps its row slice.
+        s_lo = n_steps - window - wi * window         # first step of win
+        blk = ys_ref[pl.ds(jnp.maximum(s_lo - 1, 0), window)]
+        blk = blk.reshape(window * K, ws.Ipad)
+        # row u*K:(u+1)*K holds the INPUT state of step s_lo + u; the
+        # first window of the whole sweep (s_lo == 0) substitutes x0
+        shifted = jnp.concatenate([x0_ref[:], blk[:-K]], axis=0)
+        Xb = jnp.where(s_lo == 0, shifted, blk)
+        gys_win = gys_ref[pl.ds(s_lo, window)].reshape(window * K,
+                                                       ws.Ipad)
+        st = _window_rebuild(ws, tab, dt, needed, Xb, c1, w1, c2, w2,
+                             gsm, esm)
 
-        # ---- sequential reverse dx-chain, one step at a time ----
-        ops_all = []
-        for u in range(window):
-            s = n_steps - 1 - (wi * window + u)
+        # ---- sequential reverse dx-chain, one step at a time. Only the
+        # tiny per-stage COTANGENT rows (kbar [K, Opad], dy1 [K, H]) are
+        # collected here — stored straight into VMEM scratch at static
+        # row offsets (flat many-way concats of these rows were ~7
+        # us/step of serialized copy issues; functional .at / dus row
+        # updates don't lower on Mosaic); the bulky param-GEMM operands
+        # (B, b2, swish terms) already exist window-batched from the
+        # rebuild and stack with one 4-way concat each.
+        # Every needed stage can receive cotangent (via b_i OR a later
+        # stage's a_ji); stages that end up with none get zeros stored,
+        # contributing nothing to the GEMMs.
+        live = [i for i in range(tab.stages) if needed[i]]
+        pos = {i: p for p, i in enumerate(live)}
+        WK = window * K
+        for u in range(window - 1, -1, -1):           # step s_lo+u, desc
             rows = slice(u * K, (u + 1) * K)
-            xbar = xbar + gys_ref[s]
+            xbar = xbar + gys_win[rows]
             dx = xbar
             kbar = [None] * tab.stages
             for i in range(tab.stages):
                 if needed[i] and tab.b[i] != 0.0:
                     kbar[i] = (dt * tab.b[i]) * xbar
-            sB, sb2, sD, sK, sswx, sswy1 = [], [], [], [], [], []
+            seen = set()
             for i in range(tab.stages - 1, -1, -1):
                 if not needed[i] or kbar[i] is None:
                     continue
-                x_i = xs[i][rows]
-                y1_i = y1s[i][rows]
-                B_i = Bs[i][rows]
                 dxi, dy1_i = _chain_vjp_wide_dx_pre(
-                    ws, x_i, y1_i, B_i, u2s[i][rows], b2s[i][rows],
-                    c1, w1, c2, w2, ssm, kbar[i])
-                sB.append(B_i)
-                sb2.append(b2s[i][rows])
-                sD.append(dy1_i)
-                sK.append(kbar[i])
-                sswx.append(_swish(x_i))
-                sswy1.append(_swish(y1_i))
+                    ws, st, i, rows, cm1, cm2, ssm, kbar[i])
+                r0 = pos[i] * WK + u * K
+                d_scr[r0:r0 + K] = dy1_i
+                k_scr[r0:r0 + K] = kbar[i]
+                seen.add(i)
                 dx = dx + dxi
                 for j in range(i):
                     if tab.a[i][j] != 0.0 and needed[j]:
                         contrib = (dt * tab.a[i][j]) * dxi
                         kbar[j] = contrib if kbar[j] is None \
                             else kbar[j] + contrib
+            for i in live:
+                if i not in seen:
+                    r0 = pos[i] * WK + u * K
+                    d_scr[r0:r0 + K] = jnp.zeros((K, ws.H), jnp.float32)
+                    k_scr[r0:r0 + K] = jnp.zeros((K, ws.Opad),
+                                                 jnp.float32)
             xbar = dx
-            ops_all.append((jnp.concatenate(sB, axis=0),
-                            jnp.concatenate(sb2, axis=0),
-                            jnp.concatenate(sD, axis=0),
-                            jnp.concatenate(sK, axis=0),
-                            jnp.concatenate(sswx, axis=0),
-                            jnp.concatenate(sswy1, axis=0)))
-        stacked = tuple(jnp.concatenate([o[i] for o in ops_all], axis=0)
-                        for i in range(6))
-        dc1i, dw1i, dc2i, dw2i = _param_gemms(stacked)
-        return (xbar, dc1 + dc1i, dw1 + dw1i, dc2 + dc2i, dw2 + dw2i)
+
+        # ---- FOUR window-batched parameter GEMMs (stage-major row
+        # order on both sides)
+        D_all = d_scr[:]
+        K_all = k_scr[:]
+        B_all = jnp.concatenate([st["Bs"][i] for i in live], axis=0)
+        b2_all = jnp.concatenate([st["b2s"][i] for i in live], axis=0)
+        swx_all = _swish(jnp.concatenate(
+            [st["xs"][i] for i in live], axis=0))
+        swy1_all = _swish(jnp.concatenate(
+            [st["y1s"][i] for i in live], axis=0))
+        return (xbar,
+                dc1 + _dot_t0(B_all, D_all),
+                dw1 + _dot_t0(swx_all, D_all),
+                dc2 + _dot_t0(b2_all, K_all),
+                dw2 + _dot_t0(swy1_all, K_all))
 
     init = (jnp.zeros_like(x0_ref[:]), jnp.zeros_like(c1),
             jnp.zeros_like(w1), jnp.zeros_like(c2), jnp.zeros_like(w2))
@@ -570,9 +644,12 @@ def _frmw_bwd(ws, solver, dt, n_steps, interpret, res, gys):
     needed = tuple(_needed_stages(tab))
     itp = _interpret_default() if interpret is None else interpret
     gsm, esm, ssm = _wide_consts(ws)
+    window = _bwd_window(n_steps)
+    n_live = sum(_needed_stages(tab))
+    K = x0.shape[0]
     dx, dc1, dw1, dc2, dw2 = pl.pallas_call(
         partial(_wide_multistep_bwd_kernel, ws, tab, dt, needed, n_steps,
-                _bwd_window(n_steps)),
+                window),
         out_shape=(
             jax.ShapeDtypeStruct(x0.shape, jnp.float32),
             jax.ShapeDtypeStruct(c1p.shape, jnp.float32),
@@ -580,6 +657,10 @@ def _frmw_bwd(ws, solver, dt, n_steps, interpret, res, gys):
             jax.ShapeDtypeStruct(c2p.shape, jnp.float32),
             jax.ShapeDtypeStruct(w2p.shape, jnp.float32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((n_live * window * K, ws.H), jnp.float32),
+            pltpu.VMEM((n_live * window * K, ws.Opad), jnp.float32),
+        ],
         interpret=itp, **_vmem_kw(itp),
     )(x0, ys, c1p, w1p, c2p, w2p, gsm, esm, ssm, gys)
     return dx, dc1, dw1, dc2, dw2

@@ -47,30 +47,42 @@ OUT = "artifacts"
 t0 = time.time()
 
 # ---- 1. pruned KAN + symbolic fits ----------------------------------------
+# polynomial edge ops: the per-edge expressions get COMPOSED over the
+# full 100x100 mesh; rational fits extrapolate with poles there
 print("[fig4] symbolic pipeline (sparse train -> prune -> retrain -> SR)")
-pipe = run_pipeline(SymbolicPipelineConfig(), verbose=True)
+pipe = run_pipeline(SymbolicPipelineConfig(edge_ops=("+", "-", "*")),
+                    verbose=True)
 model_p, params_p = pipe["model"], pipe["params"]
 width = model_p.layers[0].out_dims
 print(f"[fig4] pruned width {width}, train {pipe['pruned_train_loss']:.3e}, "
       f"recovered: {pipe['global_equations']}  ({time.time() - t0:.0f}s)")
 
 # ---- 2. MLP comparator -----------------------------------------------------
-print("[fig4] training MLP-NODE comparator [2,50,2]")
+# the reference regime (LV_driver_MLP.jl:92-97: adaptive Tsit5, Adam
+# 1e-2, trajectory MSE), shortened to 30k iters; params cached so
+# re-runs of the plotting phases are cheap
+MLP_NPY = os.path.join(OUT, "fig4_mlp_params.npy")
 mlp_base = lv_mod.LVConfig(model="mlp", mlp_widths=(2, 50, 2), impl="xla",
-                           init_scale=1.0)
-params_m = None
-for ph in (dataclasses.replace(mlp_base, solve_mode="shooting",
-                               segment_len=1, lr=1e-2, iters=8000),
-           dataclasses.replace(mlp_base, solve_mode="shooting",
-                               segment_len=4, lr=3e-3, iters=6000),
-           dataclasses.replace(mlp_base, solve_mode="fixed", lr=1e-3,
-                               iters=6000)):
-    out_m = lv_mod.run(dataclasses.replace(ph, eval_every=ph.iters),
-                       params=params_m)
-    params_m = out_m["params"]
-mlp_model = out_m["model"]
-mlp_train = float(out_m["loss_history"][-1])
-print(f"[fig4] MLP train loss {mlp_train:.3e}  ({time.time() - t0:.0f}s)")
+                           init_scale=1.0, solve_mode="adaptive",
+                           rtol=1e-3, atol=1e-6, max_steps=64,
+                           lr=1e-2, iters=30_000, eval_every=1000,
+                           max_iters_per_call=5_000)
+mlp_model = lv_mod.make_model(mlp_base)
+if os.path.exists(MLP_NPY):
+    params_m = jax.tree_util.tree_map(
+        jnp.asarray, np.load(MLP_NPY, allow_pickle=True).item())
+    mlp_train = float("nan")
+    print("[fig4] MLP params loaded from cache")
+else:
+    print("[fig4] training MLP-NODE comparator [2,50,2], reference regime")
+    out_m = lv_mod.run(mlp_base)
+    params_m = out_m["best_params"]
+    mlp_train = float(np.min(np.asarray(out_m["loss_history"])))
+    arr = np.empty((), dtype=object)
+    arr[()] = jax.tree_util.tree_map(np.asarray, params_m)
+    os.makedirs(OUT, exist_ok=True)
+    np.save(MLP_NPY, arr, allow_pickle=True)
+print(f"[fig4] MLP best train loss {mlp_train:.3e}  ({time.time() - t0:.0f}s)")
 
 # ---- 3. contour compare ----------------------------------------------------
 data = pipe["data"]
