@@ -31,6 +31,7 @@ import numpy as np
 
 from kanodes_tpu.ops import basis as B
 from kanodes_tpu.sparsify.activations import chain_activations
+from kanodes_tpu.utils.precision import matmul_precision
 
 Array = jax.Array
 
@@ -91,21 +92,29 @@ def refine_kdense_chain_grid(chain, params, x_samples: Array, *,
         t = jnp.linspace(-pad, 1.0 + pad, M)[:, None]
         X_dense = xi_min[None, :] + t * span_i[None, :]   # [M, I]
 
+        # f32 precision on every contraction: the XLA default feeds the
+        # MXU bf16, in which the 1e-8 ridge vanishes and the normal
+        # equations go singular (measured NaN refit on TPU)
+        prec = matmul_precision()
         bas_old = layer.basis_values(X_dense, p)      # [M, I, G]
-        spline_old = jnp.einsum("nig,igo->nio", bas_old, p["C"])
+        spline_old = jnp.einsum("nig,igo->nio", bas_old, p["C"],
+                                precision=prec)
         bas_new = new_layer.basis_values(X_dense)     # [M, I, G]
 
         def _fit(bn_i, tgt_i):
             # lightly ridge-regularized normal equations: stable when
             # the new centers overlap (rbf collinearity at small spans)
-            A = bn_i.T @ bn_i + 1e-8 * jnp.eye(bn_i.shape[1])
-            return jnp.linalg.solve(A, bn_i.T @ tgt_i)
+            A = jnp.matmul(bn_i.T, bn_i, precision=prec) \
+                + 1e-8 * jnp.eye(bn_i.shape[1])
+            return jnp.linalg.solve(
+                A, jnp.matmul(bn_i.T, tgt_i, precision=prec))
 
         C_new = jax.vmap(_fit, in_axes=(1, 1))(bas_new, spline_old)
         p_new = dict(p)
         p_new["C"] = C_new
         new_params.append(p_new)
-        spline_new = jnp.einsum("nig,igo->nio", bas_new, C_new)
+        spline_new = jnp.einsum("nig,igo->nio", bas_new, C_new,
+                                precision=prec)
         denom = float(jnp.mean(spline_old ** 2)) + 1e-30
         errs.append(float(jnp.mean((spline_new - spline_old) ** 2))
                     / denom)

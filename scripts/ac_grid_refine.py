@@ -1,18 +1,22 @@
-"""Allen-Cahn surrogate at the FULL reference budget WITH early grid
-refinement (VERDICT r2 #8: measured accuracy-vs-budget delta).
+"""Allen-Cahn surrogate at the FULL reference budget, grid refinement
+vs fixed grid at a COARSE basis (VERDICT r2 #8: measured
+accuracy-vs-budget delta).
 
-Same 1e5-iteration budget and phase schedule as the fixed-grid run
-(`scripts/surrogate_full.py allen_cahn rk4 24`, artifact
-`artifacts/allen_cahn_full_rk4.json`), except the basis-grid span is
-refit onto the visited normalized inputs after the first 8k shooting
-iterations (`sparsify/grid_refine.refine_kdense_chain_grid` — the
-efficient-kan `update_grid` cadence: refits are early-training events;
-the lstsq projection between rbf bases has an O(1e-3)-relative floor
-that is negligible early and destructive after convergence).
+Where refinement matters: when the basis RESOLUTION binds. At the
+reference's G=10 the fixed grid already reaches the f32 loss floor
+(1.9e-14 best, `artifacts/allen_cahn_full_rk4.json`) and a refit is
+pure risk — measured: refitting after the warmup had converged to
+1e-7 exploded the eval by the projection-error floor and the run never
+recovered (first version of this script; preserved in git history).
+So the demonstration runs BOTH arms at G=5, where resolution binds:
 
-The refit changes the fused kernels' static grid constants, so phase B
-pays one fresh Mosaic compile set; the optimizer restarts (Adam moments
-for the old basis are meaningless in the new one).
+  refined:  1k shooting warmup -> span refit onto visited normalized
+            inputs (`sparsify/grid_refine`) -> remaining 99k budget;
+  fixed:    the identical 1e5 schedule on the default [-1, 1] grid.
+
+The refit changes the fused kernels' static grid constants (one fresh
+Mosaic compile set) and restarts the optimizer (Adam moments for the
+old basis are meaningless in the new one).
 
 Artifact: artifacts/allen_cahn_grid_refine.json.
 """
@@ -38,12 +42,13 @@ from kanodes_tpu.experiments.pde_surrogate import (SurrogateConfig,
 from kanodes_tpu.sparsify.grid_refine import refine_kdense_chain_grid
 from kanodes_tpu.train.loop import TrainConfig, train
 
-REFIT_AT = 8_000
-PHASES = [("shooting", 1e-2, 42_000),     # post-refit remainder of 50k
+KAN_GRID = 5
+REFIT_AT = 200
+PHASES = [("shooting", 1e-2, 49_800),     # post-refit remainder of 50k
           ("shooting", 1e-3, 30_000),
           ("fixed", 3e-4, 20_000)]
 
-base = SurrogateConfig(problem="allen_cahn", impl="fused",
+base = SurrogateConfig(problem="allen_cahn", impl="fused", kan_grid=KAN_GRID,
                        rk_solver="rk4", substeps=24,
                        max_iters_per_call=5_000, eval_every=500)
 data = make_data(base)
@@ -112,23 +117,61 @@ for mode, lr, iters in PHASES:
                     "wall_s": round(time.time() - t0, 1)})
     print(json.dumps(history[-1]), flush=True)
 
-fixed_ref = None
+# ---- fixed-grid arm: identical budget/schedule, default grid ---------------
+print("[fixed-grid arm]", flush=True)
+model_f = make_model(base, data)
+params_f = model_f.init(jax.random.PRNGKey(base.seed))
+fns_f = {}
+for mode in {m for m, _, _ in [("shooting", 1e-2, REFIT_AT)] + PHASES}:
+    fns_f[mode] = make_fns(dataclasses.replace(base, solve_mode=mode),
+                           model_f, data)
+opt_state = None
+prev_mode = None
+best_f = float("inf")
+hist_f = []
+for mode, lr, iters in [("shooting", 1e-2, REFIT_AT)] + PHASES:
+    train_loss, eval_loss, _ = fns_f[mode]
+    if opt_state is not None and mode == prev_mode:
+        opt_state = opt_state._replace(hyperparams={
+            **opt_state.hyperparams,
+            "learning_rate": jnp.asarray(lr, jnp.float32)})
+    else:
+        opt_state = None
+    t0 = time.time()
+    out = train(train_loss, params_f,
+                TrainConfig(lr=lr, iters=iters, eval_every=500,
+                            max_iters_per_call=base.max_iters_per_call),
+                eval_fn=eval_loss, opt_state=opt_state)
+    params_f = out["params"]
+    opt_state = out["opt_state"]
+    prev_mode = mode
+    snap_best = float(jnp.min(out["eval_history"]))
+    best_f = min(best_f, snap_best)
+    hist_f.append({"phase": mode, "lr": lr, "iters": iters,
+                   "snapshot_mse": float(out["eval_history"][-1]),
+                   "snapshot_mse_best": snap_best,
+                   "wall_s": round(time.time() - t0, 1)})
+    print(json.dumps(hist_f[-1]), flush=True)
+
+g10_ref = None
 if os.path.exists("artifacts/allen_cahn_full_rk4.json"):
     with open("artifacts/allen_cahn_full_rk4.json") as f:
         fr = json.load(f)
-    fixed_ref = {"end": fr["history"][-1]["snapshot_mse"],
-                 "best": fr.get("best_snapshot_mse")}
+    g10_ref = {"end": fr["history"][-1]["snapshot_mse"],
+               "best": fr.get("best_snapshot_mse")}
 
 result = {
-    "refit": info, "history": history,
-    "end_snapshot_mse": history[-1]["snapshot_mse"],
-    "best_snapshot_mse": best,
+    "kan_grid": KAN_GRID,
+    "refit": info, "history_refined": history,
+    "history_fixed": hist_f,
+    "refined": {"end": history[-1]["snapshot_mse"], "best": best},
+    "fixed": {"end": hist_f[-1]["snapshot_mse"], "best": best_f},
     "total_iters": REFIT_AT + sum(p[2] for p in PHASES),
     "total_wall_s": round(time.time() - t_all, 1),
-    "fixed_grid_reference": fixed_ref,
+    "g10_fixed_reference": g10_ref,
 }
 with open("artifacts/allen_cahn_grid_refine.json", "w") as f:
     json.dump(result, f, indent=1)
 print(json.dumps({k: result[k] for k in
-                  ("end_snapshot_mse", "best_snapshot_mse",
-                   "total_wall_s", "fixed_grid_reference")}))
+                  ("refined", "fixed", "total_wall_s",
+                   "g10_fixed_reference")}))
