@@ -609,18 +609,222 @@ def _wide_multistep_bwd_kernel(ws, tab, dt, needed, n_steps, window,
     dw2_ref[:] = dw2
 
 
+def _lowrank_consts(ws: WideSpec, tab, dt: float, live) -> tuple:
+    """Static matrices for the low-rank step-Jacobian backward.
+
+    The chain RHS factors EXACTLY through the H-dim hidden layer:
+    df/dx|_{stage i} = A_i B_i^T with A_i = dk/dy1 [n, H] and
+    B_i^T = dy1/dx [H, n].  Unrolling the RK recursion
+    dk_i/dx = A_i B_i^T (I + dt sum_j a_ij dk_j/dx) gives the step
+    Jacobian in closed low-rank form
+
+        J_step = I + U Ds (I - L)^{-1} V,   rank <= S*H,
+
+    with U = [A_1 .. A_S] (column blocks), V = [B_1^T; ..; B_S^T]
+    (row blocks), Ds = blockdiag(dt b_i I_H) and L strictly
+    block-lower-triangular, L_ij = dt a_ij (B_i^T A_j).  (I-L)^{-1} is
+    the finite Neumann sum I + L + ... + L^{S-1} (L nilpotent).
+
+    The adjoint application per step collapses to THREE dependent
+    GEMMs (s = a U, t = s DsT, a' = a + t V) instead of the ~32
+    serialized VPU/MXU hops of the stage-by-stage chain — the measured
+    K=1 latency floor (NEXT_STEPS round-3 findings).  The small
+    intermediate t moreover IS the per-stage hidden cotangent
+    (t_i = dy1bar_i), and kbar_i = dt b_i a + sum_{l>i} dt a_li t_l B_l^T,
+    so every parameter-GEMM operand is recovered off the critical path.
+    """
+    H, G = ws.H, ws.G
+    Sl = len(live)
+    SH = Sl * H
+    # [maskE | eyeH]: one broadcast-multiply turns the per-stage row
+    # [D2dn | dsy1] into the block-diag coefficient matrix of A_i^T
+    maskC = np.zeros((H, H * G + H), np.float32)
+    for h in range(H):
+        maskC[h, h * G:(h + 1) * G] = 1.0
+        maskC[h, H * G + h] = 1.0
+    acoef = np.zeros((SH, SH), np.float32)
+    dtb = np.zeros((SH, 1), np.float32)
+    kcoef = np.zeros((Sl, SH), np.float32)
+    dtb_col = np.zeros((Sl, 1), np.float32)
+    for pi, i in enumerate(live):
+        dtb[pi * H:(pi + 1) * H] = dt * tab.b[i]
+        dtb_col[pi, 0] = dt * tab.b[i]
+        for pj, j in enumerate(live):
+            if j < i and tab.a[i][j] != 0.0:
+                acoef[pi * H:(pi + 1) * H, pj * H:(pj + 1) * H] = \
+                    dt * tab.a[i][j]
+            if j > i and tab.a[j][i] != 0.0:
+                kcoef[pi, pj * H:(pj + 1) * H] = dt * tab.a[j][i]
+    eye = np.eye(SH, dtype=np.float32)
+    return maskC, acoef, dtb, kcoef, dtb_col, eye
+
+
+def _lowrank_sel_consts(H: int, Sl: int, window: int) -> tuple:
+    """Static 0/1 selectors that reorder the deferred-phase cotangent
+    rows into the stage-major param-GEMM layout via GEMMs — Mosaic
+    cannot concatenate lane-offset slices ("result/input offset
+    mismatch on non-concat dimension"), so block extraction is done as
+    constant selector contractions instead (the repo-wide rule, see
+    ChainSpec.expand/collapse).
+
+      D_all [Sl*W, H]    = (esel @ T_all  * dmask) @ cselH
+      K_all [Sl*W, Ipad] =  ksel @ KB_big
+    with T_all [W, Sl*H] the per-step t rows and KB_big [W*Sl, Ipad]
+    the per-step kbar blocks."""
+    SH = Sl * H
+    esel = np.zeros((Sl * window, window), np.float32)
+    dmask = np.zeros((Sl * window, SH), np.float32)
+    ksel = np.zeros((Sl * window, window * Sl), np.float32)
+    for pi in range(Sl):
+        for u in range(window):
+            r = pi * window + u
+            esel[r, u] = 1.0
+            dmask[r, pi * H:(pi + 1) * H] = 1.0
+            ksel[r, u * Sl + pi] = 1.0
+    cselH = np.concatenate([np.eye(H, dtype=np.float32)] * Sl, axis=0)
+    return esel, dmask, ksel, cselH
+
+
+def _dot_t1(a, b):
+    """a @ b^T without materializing the transpose (contract dim 1)."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=_PREC)
+
+
+def _wide_multistep_bwd_kernel_lr(ws, tab, dt, needed, n_steps, window,
+                                  x0_ref, ys_ref, c1_ref, w1_ref, c2_ref,
+                                  w2_ref, gsm_ref, esm_ref,
+                                  maskC_ref, acoef_ref, dtb_ref,
+                                  kcoef_ref, dtbc_ref, eye_ref,
+                                  esel_ref, dmask_ref, ksel_ref,
+                                  cselH_ref, gys_ref,
+                                  dx_ref, dc1_ref, dw1_ref, dc2_ref,
+                                  dw2_ref):
+    """K=1 (single-trajectory) backward via the low-rank step Jacobian.
+
+    Identical discrete adjoint to `_wide_multistep_bwd_kernel`,
+    restructured so the irreducibly sequential part is 3 GEMMs/step;
+    everything else (U/V/T construction, per-stage cotangent recovery,
+    parameter GEMMs) is window-batched off the critical path."""
+    c1, w1, c2, w2 = c1_ref[:], w1_ref[:], c2_ref[:], w2_ref[:]
+    gsm, esm = gsm_ref[:], esm_ref[:]
+    maskC, acoef, dtb = maskC_ref[:], acoef_ref[:], dtb_ref[:]
+    kcoef, dtbc, eye = kcoef_ref[:], dtbc_ref[:], eye_ref[:]
+    esel, dmask = esel_ref[:], dmask_ref[:]
+    ksel, cselH = ksel_ref[:], cselH_ref[:]
+    K = x0_ref.shape[0]          # == 1
+    H, G, Ipad = ws.H, ws.G, ws.Ipad
+    GI = G * Ipad
+    live = [i for i in range(tab.stages) if needed[i]]
+    Sl = len(live)
+    cm1 = jnp.concatenate([c1.T, w1.T], axis=1)       # [H, GI + Ipad]
+    cm2e = jnp.concatenate([c2, w2], axis=0)          # [H*G + H, Opad]
+
+    def body(wi, carry):
+        xbar, dc1, dw1, dc2, dw2 = carry
+        s_lo = n_steps - window - wi * window
+        blk = ys_ref[pl.ds(jnp.maximum(s_lo - 1, 0), window)]
+        blk = blk.reshape(window * K, ws.Ipad)
+        shifted = jnp.concatenate([x0_ref[:], blk[:-K]], axis=0)
+        Xb = jnp.where(s_lo == 0, shifted, blk)
+        gys_win = gys_ref[pl.ds(s_lo, window)].reshape(window * K,
+                                                       ws.Ipad)
+        st = _window_rebuild(ws, tab, dt, needed, Xb, c1, w1, c2, w2,
+                             gsm, esm)
+
+        # ---- window-batched U/V/T construction -------------------------
+        # per-stage factor rows (batched over the window's steps)
+        rowsA, rowsV = [], []
+        for i in live:
+            d2dn = st["D2s"][i] * _dot(st["dny1s"][i], esm)
+            rowsA.append(jnp.concatenate([d2dn, st["dsy1s"][i]], axis=1))
+            dbdn = st["dBs"][i] * jnp.concatenate([st["dnxs"][i]] * G,
+                                                  axis=1)
+            rowsV.append(jnp.concatenate([dbdn, st["dsxs"][i]], axis=1))
+        # A (= U^T row blocks): ONE GEMM for the whole window
+        coeff = jnp.concatenate(
+            [maskC * rowsA[pi][u * K:(u + 1) * K]
+             for u in range(window) for pi in range(Sl)], axis=0)
+        A_win = _dot(coeff, cm2e)                     # [W*SH, Opad]
+        As = [A_win[u * Sl * H:(u + 1) * Sl * H] for u in range(window)]
+        # V row blocks: per (step, stage) broadcast-mul + tree collapse
+        Vs = []
+        for u in range(window):
+            vb = []
+            for pi in range(Sl):
+                full = cm1 * rowsV[pi][u * K:(u + 1) * K]
+                vb.append(_tree_collapse(full[:, :GI], G, Ipad)
+                          + full[:, GI:])
+            Vs.append(jnp.concatenate(vb, axis=0))    # [SH, Ipad]
+        # T = Ds (I + L + ... + L^{Sl-1}) per step
+        Tbs = []
+        for u in range(window):
+            L = _dot_t1(Vs[u], As[u]) * acoef         # [SH, SH]
+            T = eye
+            for _ in range(Sl - 1):
+                T = eye + _dot(L, T)
+            Tbs.append(dtb * T)
+
+        # ---- sequential reverse chain: 3 GEMMs per step ---------------
+        ts = [None] * window
+        avs = [None] * window
+        for u in range(window - 1, -1, -1):
+            a = xbar + gys_win[u * K:(u + 1) * K]
+            s = _dot_t1(a, As[u])                     # [K, SH]
+            t = _dot(s, Tbs[u])                       # [K, SH]
+            xbar = a + _dot(t, Vs[u])
+            ts[u] = t
+            avs[u] = a
+
+        # ---- deferred per-stage cotangent recovery --------------------
+        kbs = [_dot(kcoef * ts[u], Vs[u]) + _dot(dtbc, avs[u])
+               for u in range(window)]                # each [Sl, Ipad]
+        # Mosaic cannot concatenate lane-offset slices (t[:, pi*H:..]):
+        # reorder via the static 0/1 selector GEMMs instead.
+        T_all = jnp.concatenate(ts, axis=0)           # [W, SH]
+        KB_big = jnp.concatenate(kbs, axis=0)         # [W*Sl, Ipad]
+        D_all = _dot(_dot(esel, T_all) * dmask, cselH)   # [Sl*W, H]
+        K_all = _dot(ksel, KB_big)                    # [Sl*W, Ipad]
+        B_all = jnp.concatenate([st["Bs"][i] for i in live], axis=0)
+        b2_all = jnp.concatenate([st["b2s"][i] for i in live], axis=0)
+        swx_all = _swish(jnp.concatenate(
+            [st["xs"][i] for i in live], axis=0))
+        swy1_all = _swish(jnp.concatenate(
+            [st["y1s"][i] for i in live], axis=0))
+        return (xbar,
+                dc1 + _dot_t0(B_all, D_all),
+                dw1 + _dot_t0(swx_all, D_all),
+                dc2 + _dot_t0(b2_all, K_all),
+                dw2 + _dot_t0(swy1_all, K_all))
+
+    init = (jnp.zeros_like(x0_ref[:]), jnp.zeros_like(c1),
+            jnp.zeros_like(w1), jnp.zeros_like(c2), jnp.zeros_like(w2))
+    dx, dc1, dw1, dc2, dw2 = jax.lax.fori_loop(0, n_steps // window, body,
+                                               init, unroll=False)
+    dx_ref[:] = dx
+    dc1_ref[:] = dc1
+    dw1_ref[:] = dw1
+    dc2_ref[:] = dc2
+    dw2_ref[:] = dw2
+
+
 def _vmem_kw(itp):
     return {} if itp else {"compiler_params": pltpu.CompilerParams(
         vmem_limit_bytes=100 * 1024 * 1024)}
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 9))
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 9, 10))
 def fused_rk_multistep_wide(ws: WideSpec, solver: str, dt: float,
                             n_steps: int, x0, c1p, w1p, c2p, w2p,
-                            interpret: bool | None = None):
+                            interpret: bool | None = None,
+                            lowrank: bool | None = None):
     """n_steps whole wide RK steps in ONE kernel launch on a PADDED
     state x0 [K, Ipad]; returns the post-step history [n_steps, K, Ipad]
-    (x0 NOT included). Backward is one more launch."""
+    (x0 NOT included). Backward is one more launch.
+
+    lowrank: None (auto — low-rank step-Jacobian backward when K == 1,
+    the trajectory-mode shape it was built for) | True | False."""
     tab = get_tableau(solver)
     needed = tuple(_needed_stages(tab))
     itp = _interpret_default() if interpret is None else interpret
@@ -632,13 +836,14 @@ def fused_rk_multistep_wide(ws: WideSpec, solver: str, dt: float,
     )(x0, c1p, w1p, c2p, w2p, gsm, esm)
 
 
-def _frmw_fwd(ws, solver, dt, n_steps, x0, c1p, w1p, c2p, w2p, interpret):
+def _frmw_fwd(ws, solver, dt, n_steps, x0, c1p, w1p, c2p, w2p, interpret,
+              lowrank):
     ys = fused_rk_multistep_wide(ws, solver, dt, n_steps, x0,
-                                 c1p, w1p, c2p, w2p, interpret)
+                                 c1p, w1p, c2p, w2p, interpret, lowrank)
     return ys, (x0, ys, c1p, w1p, c2p, w2p)
 
 
-def _frmw_bwd(ws, solver, dt, n_steps, interpret, res, gys):
+def _frmw_bwd(ws, solver, dt, n_steps, interpret, lowrank, res, gys):
     x0, ys, c1p, w1p, c2p, w2p = res
     tab = get_tableau(solver)
     needed = tuple(_needed_stages(tab))
@@ -647,16 +852,37 @@ def _frmw_bwd(ws, solver, dt, n_steps, interpret, res, gys):
     window = _bwd_window(n_steps)
     n_live = sum(_needed_stages(tab))
     K = x0.shape[0]
+    out_shape = (
+        jax.ShapeDtypeStruct(x0.shape, jnp.float32),
+        jax.ShapeDtypeStruct(c1p.shape, jnp.float32),
+        jax.ShapeDtypeStruct(w1p.shape, jnp.float32),
+        jax.ShapeDtypeStruct(c2p.shape, jnp.float32),
+        jax.ShapeDtypeStruct(w2p.shape, jnp.float32),
+    )
+    use_lr = (K == 1) if lowrank is None else lowrank
+    if use_lr and K != 1:
+        raise ValueError("lowrank backward supports K == 1 only (the "
+                         "factors U/V/T are per-trajectory)")
+    if use_lr:
+        live = [i for i in range(tab.stages) if needed[i]]
+        maskC, acoef, dtb, kcoef, dtbc, eye = [
+            jnp.asarray(m) for m in _lowrank_consts(ws, tab, dt, live)]
+        esel, dmask, ksel, cselH = [
+            jnp.asarray(m)
+            for m in _lowrank_sel_consts(ws.H, len(live), window)]
+        dx, dc1, dw1, dc2, dw2 = pl.pallas_call(
+            partial(_wide_multistep_bwd_kernel_lr, ws, tab, dt, needed,
+                    n_steps, window),
+            out_shape=out_shape,
+            interpret=itp, **_vmem_kw(itp),
+        )(x0, ys, c1p, w1p, c2p, w2p, gsm, esm,
+          maskC, acoef, dtb, kcoef, dtbc, eye,
+          esel, dmask, ksel, cselH, gys)
+        return dx, dc1, dw1, dc2, dw2
     dx, dc1, dw1, dc2, dw2 = pl.pallas_call(
         partial(_wide_multistep_bwd_kernel, ws, tab, dt, needed, n_steps,
                 window),
-        out_shape=(
-            jax.ShapeDtypeStruct(x0.shape, jnp.float32),
-            jax.ShapeDtypeStruct(c1p.shape, jnp.float32),
-            jax.ShapeDtypeStruct(w1p.shape, jnp.float32),
-            jax.ShapeDtypeStruct(c2p.shape, jnp.float32),
-            jax.ShapeDtypeStruct(w2p.shape, jnp.float32),
-        ),
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((n_live * window * K, ws.H), jnp.float32),
             pltpu.VMEM((n_live * window * K, ws.Opad), jnp.float32),

@@ -130,3 +130,56 @@ def test_wide_multistep_full_history_cotangents(wide_setup):
     gs = jax.grad(loss_step)(pp)
     for a, b in zip(gm, gs):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7)
+
+
+@pytest.mark.parametrize("solver", ["rk4", "tsit5"])
+def test_lowrank_backward_matches_standard(wide_setup, solver):
+    """K=1 low-rank step-Jacobian backward (J = I + U Ds (I-L)^-1 V,
+    rank S*H through the hidden layer) == the stage-by-stage discrete
+    adjoint, for params AND the initial state, on both tableaus.
+    Cotangents cover every saved step (the trajectory-mode shape)."""
+    from kanodes_tpu.ops.kdense_pallas import fused_params
+    from kanodes_tpu.ops.rk_fused_wide import (WideSpec,
+                                               fused_rk_multistep_wide,
+                                               wide_chain_adapter)
+    chain, params = wide_setup
+    ws, _ = wide_chain_adapter(chain, solver=solver)
+    c1p, w1p, c2p, w2p = ws.pad_params(*fused_params(params))
+    x0 = jnp.pad(jnp.asarray(np.random.default_rng(7).normal(
+        0, 0.25, (1, 150)), jnp.float32), ((0, 0), (0, ws.Ipad - 150)))
+    dt, n = 0.04, 8
+    w = jnp.asarray(np.random.default_rng(8).normal(
+        0, 1.0, (n, 1, ws.Ipad)), jnp.float32)
+
+    def loss(lr_flag, x, *fp):
+        ys = fused_rk_multistep_wide(ws, solver, dt, n, x, *fp,
+                                     None, lr_flag)
+        return jnp.sum(ys * w) + jnp.mean(ys ** 2)
+
+    g_old = jax.grad(lambda *a: loss(False, *a),
+                     argnums=(0, 1, 2, 3, 4))(x0, c1p, w1p, c2p, w2p)
+    g_new = jax.grad(lambda *a: loss(True, *a),
+                     argnums=(0, 1, 2, 3, 4))(x0, c1p, w1p, c2p, w2p)
+    for a, b in zip(g_old, g_new):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-12
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=0, atol=3e-6)
+
+
+def test_lowrank_rejects_batched_state(wide_setup):
+    from kanodes_tpu.ops.kdense_pallas import fused_params
+    from kanodes_tpu.ops.rk_fused_wide import (fused_rk_multistep_wide,
+                                               wide_chain_adapter)
+    chain, params = wide_setup
+    ws, _ = wide_chain_adapter(chain)
+    pp = ws.pad_params(*fused_params(params))
+    x0 = jnp.zeros((2, ws.Ipad), jnp.float32)
+
+    def loss(x):
+        ys = fused_rk_multistep_wide(ws, "rk4", 0.01, 2, x, *pp,
+                                     None, True)
+        return jnp.mean(ys ** 2)
+
+    with pytest.raises(ValueError, match="K == 1"):
+        jax.grad(loss)(x0)
