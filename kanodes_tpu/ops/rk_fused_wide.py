@@ -114,38 +114,45 @@ def _dot_t0(a, b):
                                precision=_PREC)
 
 
-def _wide_basis(ws: WideSpec, xn):
+def _wide_gridrow(ws: WideSpec):
+    """[1, G*Ipad] per-lane grid-value row (node g fills its Ipad
+    block). Built from static fills so kernels hoist it ONCE per
+    launch — the basis evaluation then runs lane-replicated instead of
+    as a G-iteration Python loop (the loop issued ~5 VPU ops PER NODE;
+    the K=1 trajectory floor is per-op issue cost, so G x fewer issues
+    at identical element count is the whole point)."""
+    return jnp.concatenate([jnp.full((1, ws.Ipad), gv, jnp.float32)
+                            for gv in ws.grid_values()], axis=1)
+
+
+def _wide_basis(ws: WideSpec, xn, gwide):
     """B [K, G*Ipad]: RBF values against every static grid node,
-    concatenated in c1p's row order."""
+    concatenated in c1p's row order — ~4 lane-replicated VPU ops
+    regardless of G."""
     inv_h = 1.0 / ws.spec.h
-    bs = []
-    for gv in ws.grid_values():
-        u = (xn - gv) * inv_h
-        bs.append(jnp.exp(-(u * u)))
-    return jnp.concatenate(bs, axis=1)
+    xrep = jnp.concatenate([xn] * ws.G, axis=1)
+    u = (xrep - gwide) * inv_h
+    return jnp.exp(-(u * u))
 
 
-def _wide_basis_db(ws: WideSpec, xn):
+def _wide_basis_db(ws: WideSpec, xn, gwide):
     """(B, dB) with dB = dB/dxn = -2/h * u * B — dB is consumed by the
     backward's dx-path, so building it here (batched in the window
     rebuild, off the critical path) halves the per-node FMA loop body
     of the sequential reverse chain."""
     inv_h = 1.0 / ws.spec.h
-    bs, dbs = [], []
-    for gv in ws.grid_values():
-        u = (xn - gv) * inv_h
-        b = jnp.exp(-(u * u))
-        bs.append(b)
-        dbs.append((-2.0 * inv_h) * u * b)
-    return jnp.concatenate(bs, axis=1), jnp.concatenate(dbs, axis=1)
+    xrep = jnp.concatenate([xn] * ws.G, axis=1)
+    u = (xrep - gwide) * inv_h
+    B = jnp.exp(-(u * u))
+    return B, (-2.0 * inv_h) * u * B
 
 
-def _wide_layer1_fwd(ws: WideSpec, x, c1, w1):
+def _wide_layer1_fwd(ws: WideSpec, x, c1, w1, gwide):
     """Wide-input layer as ONE long-contraction GEMM: x [K, Ipad] ->
     y1 [K, H] via [K, G*Ipad] x [G*Ipad, H] (grid values are static, so
     the basis needs no replication GEMM)."""
     xn = _norm(x, ws.spec.normalizer)
-    B = _wide_basis(ws, xn)
+    B = _wide_basis(ws, xn, gwide)
     return _dot(_swish(x), w1) + _dot(B, c1)
 
 
@@ -159,8 +166,8 @@ def _small_layer_fwd(ws: WideSpec, y1, c2, w2, gsm, esm):
     return _dot(basis, c2) + _dot(_swish(y1), w2), u, basis
 
 
-def _chain_f_wide(ws, x, c1, w1, c2, w2, gsm, esm):
-    y1 = _wide_layer1_fwd(ws, x, c1, w1)
+def _chain_f_wide(ws, x, c1, w1, c2, w2, gsm, esm, gwide):
+    y1 = _wide_layer1_fwd(ws, x, c1, w1, gwide)
     y2, _, _ = _small_layer_fwd(ws, y1, c2, w2, gsm, esm)
     return y2, y1
 
@@ -190,7 +197,8 @@ def _chain_vjp_wide_dx(ws, x, y1, c1, w1, c2, w2, gsm, esm, ssm, gy,
     # 160 tile passes per stage — while the VPU loop is ~10 cheap
     # [K, Ipad] FMAs.)
     if B is None or dB is None:
-        B, dB = _wide_basis_db(ws, _norm(x, ws.spec.normalizer))
+        B, dB = _wide_basis_db(ws, _norm(x, ws.spec.normalizer),
+                               _wide_gridrow(ws))
     Ipad = ws.Ipad
     m = _dot(dy1, c1.T)                                # [K, G*Ipad]
     mdB = m * dB
@@ -240,7 +248,8 @@ def _chain_vjp_wide_dx_pre(ws, st, i, rows, cm1, cm2, ssm, gy):
     return dx, dy1
 
 
-def _window_rebuild(ws, tab, dt, needed, Xb, c1, w1, c2, w2, gsm, esm):
+def _window_rebuild(ws, tab, dt, needed, Xb, c1, w1, c2, w2, gsm, esm,
+                    gwide):
     """Batched stage rebuild for a whole WINDOW of steps at once: steps
     are independent given their stored input states, so one pass over
     the stages at [W*K, ...] replaces W sequential per-step rebuilds.
@@ -268,7 +277,7 @@ def _window_rebuild(ws, tab, dt, needed, Xb, c1, w1, c2, w2, gsm, esm):
             if tab.a[i][j] != 0.0 and ks[j] is not None:
                 xi = xi + (dt * tab.a[i][j]) * ks[j]
         out["xs"][i] = xi
-        B, dB = _wide_basis_db(ws, _norm(xi, ws.spec.normalizer))
+        B, dB = _wide_basis_db(ws, _norm(xi, ws.spec.normalizer), gwide)
         out["Bs"][i], out["dBs"][i] = B, dB
         y1 = _dot(_swish(xi), w1) + _dot(B, c1)
         out["y1s"][i] = y1
@@ -291,6 +300,7 @@ def _step_adjoint_wide_collect(ws, tab, dt, needed, x, xbar, c1, w1, c2,
       returns (dx, (B [S*K, G*Ipad], b2 [S*K, H*G], D [S*K, H],
                     Kc [S*K, Opad], swx [S*K, Ipad], swy1 [S*K, H]))
     with dc1 = B^T D, dw1 = swx^T D, dc2 = b2^T Kc, dw2 = swy1^T Kc."""
+    gwide = _wide_gridrow(ws)
     ks = [None] * tab.stages
     xs = [None] * tab.stages
     y1s = [None] * tab.stages
@@ -305,7 +315,7 @@ def _step_adjoint_wide_collect(ws, tab, dt, needed, x, xbar, c1, w1, c2,
                 xi = xi + (dt * tab.a[i][j]) * ks[j]
         xs[i] = xi
         Bsaved[i], dBsaved[i] = _wide_basis_db(
-            ws, _norm(xi, ws.spec.normalizer))
+            ws, _norm(xi, ws.spec.normalizer), gwide)
         y1s[i] = _dot(_swish(xi), w1) + _dot(Bsaved[i], c1)
         ks[i], _, _ = _small_layer_fwd(ws, y1s[i], c2, w2, gsm, esm)
 
@@ -366,6 +376,7 @@ def _wide_step_fwd_kernel(ws, tab, dt, needed,
     x = x_ref[:]
     c1, w1, c2, w2 = c1_ref[:], w1_ref[:], c2_ref[:], w2_ref[:]
     gsm, esm = gsm_ref[:], esm_ref[:]
+    gwide = _wide_gridrow(ws)
     ks = [None] * tab.stages
     for i in range(tab.stages):
         if not needed[i]:
@@ -374,7 +385,7 @@ def _wide_step_fwd_kernel(ws, tab, dt, needed,
         for j in range(i):
             if tab.a[i][j] != 0.0 and ks[j] is not None:
                 xi = xi + (dt * tab.a[i][j]) * ks[j]
-        ks[i], _ = _chain_f_wide(ws, xi, c1, w1, c2, w2, gsm, esm)
+        ks[i], _ = _chain_f_wide(ws, xi, c1, w1, c2, w2, gsm, esm, gwide)
     y = x
     for i in range(tab.stages):
         if tab.b[i] != 0.0:
@@ -460,7 +471,8 @@ fused_rk_step_wide.defvjp(_frsw_fwd, _frsw_bwd)
 # surrogate's 20-40-step segment solves)
 # ---------------------------------------------------------------------------
 
-def _wide_one_step(ws, tab, dt, needed, x, c1, w1, c2, w2, gsm, esm):
+def _wide_one_step(ws, tab, dt, needed, x, c1, w1, c2, w2, gsm, esm,
+                   gwide):
     ks = [None] * tab.stages
     for i in range(tab.stages):
         if not needed[i]:
@@ -469,7 +481,7 @@ def _wide_one_step(ws, tab, dt, needed, x, c1, w1, c2, w2, gsm, esm):
         for j in range(i):
             if tab.a[i][j] != 0.0 and ks[j] is not None:
                 xi = xi + (dt * tab.a[i][j]) * ks[j]
-        ks[i], _ = _chain_f_wide(ws, xi, c1, w1, c2, w2, gsm, esm)
+        ks[i], _ = _chain_f_wide(ws, xi, c1, w1, c2, w2, gsm, esm, gwide)
     y = x
     for i in range(tab.stages):
         if tab.b[i] != 0.0:
@@ -483,10 +495,11 @@ def _wide_multistep_fwd_kernel(ws, tab, dt, needed, n_steps,
                                ys_ref):
     c1, w1, c2, w2 = c1_ref[:], w1_ref[:], c2_ref[:], w2_ref[:]
     gsm, esm = gsm_ref[:], esm_ref[:]
+    gwide = _wide_gridrow(ws)
 
     def body(s, x):
         y = _wide_one_step(ws, tab, dt, needed, x, c1, w1, c2, w2,
-                           gsm, esm)
+                           gsm, esm, gwide)
         ys_ref[s] = y
         return y
 
@@ -517,6 +530,7 @@ def _wide_multistep_bwd_kernel(ws, tab, dt, needed, n_steps, window,
     # the sequential chain instead of 5)
     cm2 = jnp.concatenate([c2.T, w2.T], axis=1)       # [Opad, H*G+H]
     cm1 = jnp.concatenate([c1.T, w1.T], axis=1)       # [H, G*Ipad+Ipad]
+    gwide = _wide_gridrow(ws)
 
     def body(wi, carry):
         xbar, dc1, dw1, dc2, dw2 = carry
@@ -534,7 +548,7 @@ def _wide_multistep_bwd_kernel(ws, tab, dt, needed, n_steps, window,
         gys_win = gys_ref[pl.ds(s_lo, window)].reshape(window * K,
                                                        ws.Ipad)
         st = _window_rebuild(ws, tab, dt, needed, Xb, c1, w1, c2, w2,
-                             gsm, esm)
+                             gsm, esm, gwide)
 
         # ---- sequential reverse dx-chain, one step at a time. Only the
         # tiny per-stage COTANGENT rows (kbar [K, Opad], dy1 [K, H]) are
@@ -609,7 +623,8 @@ def _wide_multistep_bwd_kernel(ws, tab, dt, needed, n_steps, window,
     dw2_ref[:] = dw2
 
 
-def _lowrank_consts(ws: WideSpec, tab, dt: float, live) -> tuple:
+def _lowrank_batch_consts(ws: WideSpec, tab, dt: float, live,
+                          window: int) -> tuple:
     """Static matrices for the low-rank step-Jacobian backward.
 
     The chain RHS factors EXACTLY through the H-dim hidden layer:
@@ -622,67 +637,88 @@ def _lowrank_consts(ws: WideSpec, tab, dt: float, live) -> tuple:
 
     with U = [A_1 .. A_S] (column blocks), V = [B_1^T; ..; B_S^T]
     (row blocks), Ds = blockdiag(dt b_i I_H) and L strictly
-    block-lower-triangular, L_ij = dt a_ij (B_i^T A_j).  (I-L)^{-1} is
-    the finite Neumann sum I + L + ... + L^{S-1} (L nilpotent).
+    block-lower-triangular, L_ij = dt a_ij (B_i^T A_j), nilpotent of
+    index <= S, so (I-L)^{-1} = I + L + ... + L^{S-1} exactly.
 
-    The adjoint application per step collapses to THREE dependent
-    GEMMs (s = a U, t = s DsT, a' = a + t V) instead of the ~32
-    serialized VPU/MXU hops of the stage-by-stage chain — the measured
-    K=1 latency floor (NEXT_STEPS round-3 findings).  The small
-    intermediate t moreover IS the per-stage hidden cotangent
-    (t_i = dy1bar_i), and kbar_i = dt b_i a + sum_{l>i} dt a_li t_l B_l^T,
-    so every parameter-GEMM operand is recovered off the critical path.
-    """
+    The measured K=1 floor is per-op issue cost (~0.4-0.5 us/op,
+    NEXT_STEPS round-3 findings), so EVERY phase here is expressed as
+    a handful of window-batched ops: the factor rows build
+    stage-stacked, expand to the per-(step, stage, h) u-major layout
+    through one static 0/1 selector GEMM (Mosaic cannot concatenate
+    lane-offset slices, and sub-tile broadcasts are banned — constant
+    selector contractions are the repo-wide substitute, see
+    ChainSpec.expand/collapse), all W per-step L matrices come from ONE
+    cross GEMM + block-diag mask + column collapse, the triangular
+    solve runs as an (S-1)-term Horner recurrence on the critical path
+    (Ds pre-folded into the A factor rows), and the per-stage hidden
+    cotangents t_u — which ARE dy1bar — drive batched kbar recovery
+    and the 0/1-reordered parameter GEMMs.
+
+    Row layouts: "u-major" r = u*SH + pi*H + h (adjoint-chain objects),
+    "pi-major" r = pi*W + u (param-GEMM operands, matching the
+    stage-concatenated rebuild arrays)."""
     H, G = ws.H, ws.G
     Sl = len(live)
     SH = Sl * H
-    # [maskE | eyeH]: one broadcast-multiply turns the per-stage row
-    # [D2dn | dsy1] into the block-diag coefficient matrix of A_i^T
+    W = window
+    WSH = W * SH
+    # [maskE | eyeH]: turns the per-(step, stage) row [D2dn | dsy1]
+    # into the block-diag coefficient matrix of A_i^T
     maskC = np.zeros((H, H * G + H), np.float32)
     for h in range(H):
         maskC[h, h * G:(h + 1) * G] = 1.0
         maskC[h, H * G + h] = 1.0
+    maskC_big = np.zeros((WSH, H * G + H), np.float32)
+    tileH = np.zeros((WSH, H), np.float32)
+    EselV = np.zeros((WSH, Sl * W), np.float32)
+    dtbcol = np.zeros((WSH, 1), np.float32)
+    for u in range(W):
+        for pi in range(Sl):
+            for h in range(H):
+                r = u * SH + pi * H + h
+                maskC_big[r] = maskC[h]
+                tileH[r, h] = 1.0
+                EselV[r, pi * W + u] = 1.0
+                dtbcol[r, 0] = dt * tab.b[live[pi]]
     acoef = np.zeros((SH, SH), np.float32)
-    dtb = np.zeros((SH, 1), np.float32)
     kcoef = np.zeros((Sl, SH), np.float32)
-    dtb_col = np.zeros((Sl, 1), np.float32)
     for pi, i in enumerate(live):
-        dtb[pi * H:(pi + 1) * H] = dt * tab.b[i]
-        dtb_col[pi, 0] = dt * tab.b[i]
         for pj, j in enumerate(live):
             if j < i and tab.a[i][j] != 0.0:
                 acoef[pi * H:(pi + 1) * H, pj * H:(pj + 1) * H] = \
                     dt * tab.a[i][j]
             if j > i and tab.a[j][i] != 0.0:
                 kcoef[pi, pj * H:(pj + 1) * H] = dt * tab.a[j][i]
-    eye = np.eye(SH, dtype=np.float32)
-    return maskC, acoef, dtb, kcoef, dtb_col, eye
-
-
-def _lowrank_sel_consts(H: int, Sl: int, window: int) -> tuple:
-    """Static 0/1 selectors that reorder the deferred-phase cotangent
-    rows into the stage-major param-GEMM layout via GEMMs — Mosaic
-    cannot concatenate lane-offset slices ("result/input offset
-    mismatch on non-concat dimension"), so block extraction is done as
-    constant selector contractions instead (the repo-wide rule, see
-    ChainSpec.expand/collapse).
-
-      D_all [Sl*W, H]    = (esel @ T_all  * dmask) @ cselH
-      K_all [Sl*W, Ipad] =  ksel @ KB_big
-    with T_all [W, Sl*H] the per-step t rows and KB_big [W*Sl, Ipad]
-    the per-step kbar blocks."""
-    SH = Sl * H
-    esel = np.zeros((Sl * window, window), np.float32)
-    dmask = np.zeros((Sl * window, SH), np.float32)
-    ksel = np.zeros((Sl * window, window * Sl), np.float32)
+    acoef_bd = np.zeros((WSH, WSH), np.float32)
+    colselSH = np.zeros((WSH, SH), np.float32)
+    for u in range(W):
+        acoef_bd[u * SH:(u + 1) * SH, u * SH:(u + 1) * SH] = acoef
+        colselSH[u * SH:(u + 1) * SH] = np.eye(SH, dtype=np.float32)
+    # kbar recovery: K_big[u*Sl+pi] = (kcoef[pi] . t_u) @ V_big block u
+    #                                 + dt b_i * a_u
+    E2w = np.zeros((W * Sl, W), np.float32)
+    kmask_bd = np.zeros((W * Sl, WSH), np.float32)
+    dtbc_exp = np.zeros((W * Sl, W), np.float32)
+    for u in range(W):
+        for pi in range(Sl):
+            r = u * Sl + pi
+            E2w[r, u] = 1.0
+            kmask_bd[r, u * SH:(u + 1) * SH] = kcoef[pi]
+            dtbc_exp[r, u] = dt * tab.b[live[pi]]
+    TileW = np.concatenate([np.eye(SH, dtype=np.float32)] * W, axis=1)
+    # D_all / K_all reorder into the pi-major param-GEMM layout
+    esel = np.zeros((Sl * W, W), np.float32)
+    dmask = np.zeros((Sl * W, SH), np.float32)
+    ksel = np.zeros((Sl * W, W * Sl), np.float32)
     for pi in range(Sl):
-        for u in range(window):
-            r = pi * window + u
+        for u in range(W):
+            r = pi * W + u
             esel[r, u] = 1.0
             dmask[r, pi * H:(pi + 1) * H] = 1.0
             ksel[r, u * Sl + pi] = 1.0
     cselH = np.concatenate([np.eye(H, dtype=np.float32)] * Sl, axis=0)
-    return esel, dmask, ksel, cselH
+    return (maskC_big, tileH, EselV, dtbcol, acoef_bd, colselSH,
+            E2w, TileW, kmask_bd, dtbc_exp, esel, dmask, ksel, cselH)
 
 
 def _dot_t1(a, b):
@@ -695,31 +731,39 @@ def _dot_t1(a, b):
 def _wide_multistep_bwd_kernel_lr(ws, tab, dt, needed, n_steps, window,
                                   x0_ref, ys_ref, c1_ref, w1_ref, c2_ref,
                                   w2_ref, gsm_ref, esm_ref,
-                                  maskC_ref, acoef_ref, dtb_ref,
-                                  kcoef_ref, dtbc_ref, eye_ref,
-                                  esel_ref, dmask_ref, ksel_ref,
-                                  cselH_ref, gys_ref,
+                                  maskC_ref, tileH_ref, EselV_ref,
+                                  dtbcol_ref, acoefbd_ref, colsel_ref,
+                                  E2w_ref, TileW_ref, kmaskbd_ref,
+                                  dtbce_ref, esel_ref, dmask_ref,
+                                  ksel_ref, cselH_ref, gys_ref,
                                   dx_ref, dc1_ref, dw1_ref, dc2_ref,
                                   dw2_ref):
     """K=1 (single-trajectory) backward via the low-rank step Jacobian.
 
     Identical discrete adjoint to `_wide_multistep_bwd_kernel`,
-    restructured so the irreducibly sequential part is 3 GEMMs/step;
-    everything else (U/V/T construction, per-stage cotangent recovery,
-    parameter GEMMs) is window-batched off the critical path."""
+    restructured so the irreducibly sequential part is 3 GEMMs + 2 adds
+    per step; EVERYTHING else — factor-row construction, the U/V
+    expansion, all W per-step L matrices, the nilpotent triangular
+    solve, and the per-stage cotangent recovery — runs window-batched
+    in a fixed handful of ops (the measured floor is per-op issue cost,
+    not FLOPs; see `_lowrank_batch_consts`)."""
     c1, w1, c2, w2 = c1_ref[:], w1_ref[:], c2_ref[:], w2_ref[:]
     gsm, esm = gsm_ref[:], esm_ref[:]
-    maskC, acoef, dtb = maskC_ref[:], acoef_ref[:], dtb_ref[:]
-    kcoef, dtbc, eye = kcoef_ref[:], dtbc_ref[:], eye_ref[:]
-    esel, dmask = esel_ref[:], dmask_ref[:]
+    maskC, tileH, EselV = maskC_ref[:], tileH_ref[:], EselV_ref[:]
+    dtbcol, acoefbd, colsel = dtbcol_ref[:], acoefbd_ref[:], colsel_ref[:]
+    E2w, TileW, kmaskbd = E2w_ref[:], TileW_ref[:], kmaskbd_ref[:]
+    dtbce, esel, dmask = dtbce_ref[:], esel_ref[:], dmask_ref[:]
     ksel, cselH = ksel_ref[:], cselH_ref[:]
     K = x0_ref.shape[0]          # == 1
     H, G, Ipad = ws.H, ws.G, ws.Ipad
     GI = G * Ipad
     live = [i for i in range(tab.stages) if needed[i]]
     Sl = len(live)
+    SH = Sl * H
     cm1 = jnp.concatenate([c1.T, w1.T], axis=1)       # [H, GI + Ipad]
     cm2e = jnp.concatenate([c2, w2], axis=0)          # [H*G + H, Opad]
+    cm1_big = _dot(tileH, cm1)                        # [W*SH, GI + Ipad]
+    gwide = _wide_gridrow(ws)
 
     def body(wi, carry):
         xbar, dc1, dw1, dc2, dw2 = carry
@@ -731,59 +775,62 @@ def _wide_multistep_bwd_kernel_lr(ws, tab, dt, needed, n_steps, window,
         gys_win = gys_ref[pl.ds(s_lo, window)].reshape(window * K,
                                                        ws.Ipad)
         st = _window_rebuild(ws, tab, dt, needed, Xb, c1, w1, c2, w2,
-                             gsm, esm)
+                             gsm, esm, gwide)
 
-        # ---- window-batched U/V/T construction -------------------------
-        # per-stage factor rows (batched over the window's steps)
-        rowsA, rowsV = [], []
-        for i in live:
-            d2dn = st["D2s"][i] * _dot(st["dny1s"][i], esm)
-            rowsA.append(jnp.concatenate([d2dn, st["dsy1s"][i]], axis=1))
-            dbdn = st["dBs"][i] * jnp.concatenate([st["dnxs"][i]] * G,
-                                                  axis=1)
-            rowsV.append(jnp.concatenate([dbdn, st["dsxs"][i]], axis=1))
-        # A (= U^T row blocks): ONE GEMM for the whole window
-        coeff = jnp.concatenate(
-            [maskC * rowsA[pi][u * K:(u + 1) * K]
-             for u in range(window) for pi in range(Sl)], axis=0)
-        A_win = _dot(coeff, cm2e)                     # [W*SH, Opad]
-        As = [A_win[u * Sl * H:(u + 1) * Sl * H] for u in range(window)]
-        # V row blocks: per (step, stage) broadcast-mul + tree collapse
-        Vs = []
-        for u in range(window):
-            vb = []
-            for pi in range(Sl):
-                full = cm1 * rowsV[pi][u * K:(u + 1) * K]
-                vb.append(_tree_collapse(full[:, :GI], G, Ipad)
-                          + full[:, GI:])
-            Vs.append(jnp.concatenate(vb, axis=0))    # [SH, Ipad]
-        # T = Ds (I + L + ... + L^{Sl-1}) per step
-        Tbs = []
-        for u in range(window):
-            L = _dot_t1(Vs[u], As[u]) * acoef         # [SH, SH]
-            T = eye
-            for _ in range(Sl - 1):
-                T = eye + _dot(L, T)
-            Tbs.append(dtb * T)
+        # ---- batched factor rows, stage-stacked (pi-major r = pi*W+u)
+        D2_all = jnp.concatenate([st["D2s"][i] for i in live], axis=0)
+        dny1_all = jnp.concatenate([st["dny1s"][i] for i in live],
+                                   axis=0)
+        dsy1_all = jnp.concatenate([st["dsy1s"][i] for i in live],
+                                   axis=0)
+        RA = jnp.concatenate([D2_all * _dot(dny1_all, esm), dsy1_all],
+                             axis=1)                  # [Sl*W, HG + H]
+        dB_all = jnp.concatenate([st["dBs"][i] for i in live], axis=0)
+        dnx_all = jnp.concatenate([st["dnxs"][i] for i in live], axis=0)
+        dsx_all = jnp.concatenate([st["dsxs"][i] for i in live], axis=0)
+        RV = jnp.concatenate(
+            [dB_all * jnp.concatenate([dnx_all] * G, axis=1), dsx_all],
+            axis=1)                                   # [Sl*W, GI + Ipad]
 
-        # ---- sequential reverse chain: 3 GEMMs per step ---------------
+        # ---- expand to u-major (r = u*SH + pi*H + h) via selector GEMM
+        A_big = _dot(maskC * _dot(EselV, RA), cm2e)   # [W*SH, Opad]
+        full_big = cm1_big * _dot(EselV, RV)          # [W*SH, GI + Ipad]
+        V_big = _tree_collapse(full_big[:, :GI], G, Ipad) \
+            + full_big[:, GI:]                        # [W*SH, Ipad]
+
+        # ---- ALL W per-step L matrices from ONE cross GEMM; the
+        # nilpotent solve T = I + L + ... + L^{Sl-1} Horner-batched over
+        # the window (block-diag Lbd x block-stacked rows = per-block
+        # products; colsel doubles as the block-stacked identity)
+        Lbd = _dot_t1(V_big, A_big) * acoefbd         # [W*SH, W*SH]
+        T = colsel                                    # [W*SH, SH]
+        for _ in range(Sl - 1):
+            T = colsel + _dot(Lbd, T)
+        Tb = dtbcol * T                               # rows: Ds T_u
+
+        # ---- sequential reverse chain: 3 GEMMs + 2 adds per step ------
         ts = [None] * window
         avs = [None] * window
         for u in range(window - 1, -1, -1):
+            rows = slice(u * SH, (u + 1) * SH)
             a = xbar + gys_win[u * K:(u + 1) * K]
-            s = _dot_t1(a, As[u])                     # [K, SH]
-            t = _dot(s, Tbs[u])                       # [K, SH]
-            xbar = a + _dot(t, Vs[u])
+            s = _dot_t1(a, A_big[rows])               # [K, SH]
+            t = _dot(s, Tb[rows])                     # [K, SH]
+            xbar = a + _dot(t, V_big[rows])
             ts[u] = t
             avs[u] = a
 
-        # ---- deferred per-stage cotangent recovery --------------------
-        kbs = [_dot(kcoef * ts[u], Vs[u]) + _dot(dtbc, avs[u])
-               for u in range(window)]                # each [Sl, Ipad]
-        # Mosaic cannot concatenate lane-offset slices (t[:, pi*H:..]):
-        # reorder via the static 0/1 selector GEMMs instead.
+        # ---- batched per-stage cotangent recovery ---------------------
+        # kbar_{u,i} = (kcoef_i . t_u) @ V_u + dt b_i a_u, all (u, i) at
+        # once: tile t_u across the W column blocks, mask with the
+        # block-diag kcoef, one GEMM against V_big.  (Mosaic cannot
+        # concatenate lane-offset slices — every reorder is a static
+        # 0/1 selector GEMM, the repo-wide rule.)
         T_all = jnp.concatenate(ts, axis=0)           # [W, SH]
-        KB_big = jnp.concatenate(kbs, axis=0)         # [W*Sl, Ipad]
+        A_rows = jnp.concatenate(avs, axis=0)         # [W, Ipad]
+        Mwide = _dot(_dot(E2w, T_all), TileW)         # [W*Sl, W*SH]
+        KB_big = _dot(Mwide * kmaskbd, V_big) \
+            + _dot(dtbce, A_rows)                     # [W*Sl, Ipad]
         D_all = _dot(_dot(esel, T_all) * dmask, cselH)   # [Sl*W, H]
         K_all = _dot(ksel, KB_big)                    # [Sl*W, Ipad]
         B_all = jnp.concatenate([st["Bs"][i] for i in live], axis=0)
@@ -865,19 +912,14 @@ def _frmw_bwd(ws, solver, dt, n_steps, interpret, lowrank, res, gys):
                          "factors U/V/T are per-trajectory)")
     if use_lr:
         live = [i for i in range(tab.stages) if needed[i]]
-        maskC, acoef, dtb, kcoef, dtbc, eye = [
-            jnp.asarray(m) for m in _lowrank_consts(ws, tab, dt, live)]
-        esel, dmask, ksel, cselH = [
-            jnp.asarray(m)
-            for m in _lowrank_sel_consts(ws.H, len(live), window)]
+        consts = [jnp.asarray(m) for m in
+                  _lowrank_batch_consts(ws, tab, dt, live, window)]
         dx, dc1, dw1, dc2, dw2 = pl.pallas_call(
             partial(_wide_multistep_bwd_kernel_lr, ws, tab, dt, needed,
                     n_steps, window),
             out_shape=out_shape,
             interpret=itp, **_vmem_kw(itp),
-        )(x0, ys, c1p, w1p, c2p, w2p, gsm, esm,
-          maskC, acoef, dtb, kcoef, dtbc, eye,
-          esel, dmask, ksel, cselH, gys)
+        )(x0, ys, c1p, w1p, c2p, w2p, gsm, esm, *consts, gys)
         return dx, dc1, dw1, dc2, dw2
     dx, dc1, dw1, dc2, dw2 = pl.pallas_call(
         partial(_wide_multistep_bwd_kernel, ws, tab, dt, needed, n_steps,
