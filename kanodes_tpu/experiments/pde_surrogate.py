@@ -60,6 +60,11 @@ class SurrogateConfig:
     # tableau with more stability per stage can beat Tsit5: rk4 has
     # ~2.83/4 = 0.71 imaginary-axis units per stage vs Tsit5's ~0.5.
     rk_solver: str = "tsit5"
+    # backward-kernel dot precision for the fused WIDE path ("highest" |
+    # "bf16"). The forward (and so the reported loss) stays exact f32;
+    # "bf16" runs the backward's MXU dots in 1 pass instead of 6 —
+    # the measured K=1 trajectory-mode floor (ops/rk_fused_wide).
+    bwd_precision: str = "highest"
     max_iters_per_call: int | None = None
     seed: int = 0
     # multi-device training: (dp, sp) mesh sizes. sp shards the GRID
@@ -148,7 +153,8 @@ def make_fns(cfg: SurrogateConfig, model: KANChain,
         from kanodes_tpu.ops.kdense_pallas import fused_params
         from kanodes_tpu.ops.rk_fused_wide import (wide_chain_adapter,
                                                    fused_rk_multistep_wide)
-        ws, _advance = wide_chain_adapter(model, solver=cfg.rk_solver)
+        ws, _advance = wide_chain_adapter(model, solver=cfg.rk_solver,
+                                          bwd_precision=cfg.bwd_precision)
 
         def fused_advance(params, x, n_steps, dt_total):
             return _advance(params, x, dt_total / n_steps, n_steps)
@@ -159,7 +165,9 @@ def make_fns(cfg: SurrogateConfig, model: KANChain,
                 xp = jnp.pad(u0[None], ((0, 0), (0, ws.Ipad - ws.I)))
                 ys = fused_rk_multistep_wide(ws, cfg.rk_solver, base_h,
                                              total_steps, xp,
-                                             c1p, w1p, c2p, w2p)
+                                             c1p, w1p, c2p, w2p,
+                                             None, None,
+                                             cfg.bwd_precision)
                 return ys[snap_rows][:, 0, :ws.I]
     elif impl == "fused":
         from kanodes_tpu.ops.kdense_pallas import chain_spec_of, \

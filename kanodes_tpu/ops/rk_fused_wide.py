@@ -45,6 +45,39 @@ Array = jax.Array
 
 _PREC = jax.lax.Precision.HIGHEST
 
+# Backward-pass dot precision. The v5e MXU is bf16-native: HIGHEST
+# (exact f32) costs 6 accumulation passes per GEMM, and the K=1
+# trajectory floor is measured to be EXACTLY this pass count (297 it/s
+# at DEFAULT vs 151 at HIGHEST on the Schrödinger shape, while every
+# structural change — dependency-depth, op batching, window size — was
+# neutral). The FORWARD kernels always stay HIGHEST: the loss floor
+# (1e-14 on Allen-Cahn) needs an exact forward. The BACKWARD tolerates
+# bf16-grade gradient noise under Adam (validated end-to-end: equal
+# final loss on the full-budget surrogate runs, see EXPERIMENTS.md),
+# so it is selectable per call.
+_BWD_PRECS = {
+    "highest": jax.lax.Precision.HIGHEST,   # exact f32 (6 MXU passes)
+    "bf16": jax.lax.Precision.DEFAULT,      # 1 MXU pass
+}
+
+
+class _prec_ctx:
+    """Trace-time dot-precision override for the backward kernels (the
+    kernel bodies read the module global via `_dot` while pallas_call
+    traces them, synchronously, inside this context)."""
+
+    def __init__(self, p):
+        self.p = p
+
+    def __enter__(self):
+        global _PREC
+        self.old = _PREC
+        _PREC = self.p
+
+    def __exit__(self, *exc):
+        global _PREC
+        _PREC = self.old
+
 
 def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32,
@@ -156,6 +189,23 @@ def _wide_layer1_fwd(ws: WideSpec, x, c1, w1, gwide):
     return _dot(_swish(x), w1) + _dot(B, c1)
 
 
+def _wide_layer1_fwd_vpu(ws: WideSpec, x, cm1, eyeH, gwide):
+    """K == 1 wide-input layer on the VPU: at M = 1 the MXU GEMM is
+    weight-streaming-bound — 40 depth-tiles x 6 f32-emulation passes
+    stream the whole [G*Ipad, H] weight through the systolic array to
+    multiply ONE row (the measured trajectory-mode forward floor).
+    The same contraction is ~130 VPU vreg-ops: sublane-broadcast the
+    [1, GI+Ipad] basis/swish row against the merged weight transpose
+    cm1 [H, GI+Ipad], lane-reduce, and un-transpose the [H, 1] result
+    with one tiny eyeH pass. Exact f32 (mul + f32 adds) — NOT a
+    precision trade, unlike bwd_precision="bf16"."""
+    xn = _norm(x, ws.spec.normalizer)
+    B = _wide_basis(ws, xn, gwide)
+    row = jnp.concatenate([B, _swish(x)], axis=1)      # [1, GI + Ipad]
+    y1T = jnp.sum(row * cm1, axis=1, keepdims=True)    # [H, 1]
+    return _dot_t0(y1T, eyeH)                          # [1, H]
+
+
 def _small_layer_fwd(ws: WideSpec, y1, c2, w2, gsm, esm):
     """Narrow-input layer: y1 [K, H] -> y2 [K, Opad]."""
     h = ws.spec.h
@@ -166,8 +216,11 @@ def _small_layer_fwd(ws: WideSpec, y1, c2, w2, gsm, esm):
     return _dot(basis, c2) + _dot(_swish(y1), w2), u, basis
 
 
-def _chain_f_wide(ws, x, c1, w1, c2, w2, gsm, esm, gwide):
-    y1 = _wide_layer1_fwd(ws, x, c1, w1, gwide)
+def _chain_f_wide(ws, x, c1, w1, c2, w2, gsm, esm, gwide, vpu=None):
+    if vpu is not None and x.shape[0] == 1:
+        y1 = _wide_layer1_fwd_vpu(ws, x, vpu[0], vpu[1], gwide)
+    else:
+        y1 = _wide_layer1_fwd(ws, x, c1, w1, gwide)
     y2, _, _ = _small_layer_fwd(ws, y1, c2, w2, gsm, esm)
     return y2, y1
 
@@ -472,7 +525,7 @@ fused_rk_step_wide.defvjp(_frsw_fwd, _frsw_bwd)
 # ---------------------------------------------------------------------------
 
 def _wide_one_step(ws, tab, dt, needed, x, c1, w1, c2, w2, gsm, esm,
-                   gwide):
+                   gwide, vpu=None):
     ks = [None] * tab.stages
     for i in range(tab.stages):
         if not needed[i]:
@@ -481,7 +534,8 @@ def _wide_one_step(ws, tab, dt, needed, x, c1, w1, c2, w2, gsm, esm,
         for j in range(i):
             if tab.a[i][j] != 0.0 and ks[j] is not None:
                 xi = xi + (dt * tab.a[i][j]) * ks[j]
-        ks[i], _ = _chain_f_wide(ws, xi, c1, w1, c2, w2, gsm, esm, gwide)
+        ks[i], _ = _chain_f_wide(ws, xi, c1, w1, c2, w2, gsm, esm, gwide,
+                                 vpu)
     y = x
     for i in range(tab.stages):
         if tab.b[i] != 0.0:
@@ -496,10 +550,16 @@ def _wide_multistep_fwd_kernel(ws, tab, dt, needed, n_steps,
     c1, w1, c2, w2 = c1_ref[:], w1_ref[:], c2_ref[:], w2_ref[:]
     gsm, esm = gsm_ref[:], esm_ref[:]
     gwide = _wide_gridrow(ws)
+    vpu = None
+    if x_ref.shape[0] == 1:
+        # merged weight transpose + un-transpose identity for the VPU
+        # wide dot, hoisted once per launch
+        vpu = (jnp.concatenate([c1.T, w1.T], axis=1),
+               jnp.eye(ws.H, dtype=jnp.float32))
 
     def body(s, x):
         y = _wide_one_step(ws, tab, dt, needed, x, c1, w1, c2, w2,
-                           gsm, esm, gwide)
+                           gsm, esm, gwide, vpu)
         ys_ref[s] = y
         return y
 
@@ -861,17 +921,21 @@ def _vmem_kw(itp):
         vmem_limit_bytes=100 * 1024 * 1024)}
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 9, 10))
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 9, 10, 11))
 def fused_rk_multistep_wide(ws: WideSpec, solver: str, dt: float,
                             n_steps: int, x0, c1p, w1p, c2p, w2p,
                             interpret: bool | None = None,
-                            lowrank: bool | None = None):
+                            lowrank: bool | None = None,
+                            bwd_precision: str = "highest"):
     """n_steps whole wide RK steps in ONE kernel launch on a PADDED
     state x0 [K, Ipad]; returns the post-step history [n_steps, K, Ipad]
     (x0 NOT included). Backward is one more launch.
 
     lowrank: None (auto — low-rank step-Jacobian backward when K == 1,
-    the trajectory-mode shape it was built for) | True | False."""
+    the trajectory-mode shape it was built for) | True | False.
+    bwd_precision: "highest" (exact-f32 backward) | "bf16" (1-pass MXU
+    dots in the backward kernel only; the forward stays exact — see
+    _BWD_PRECS for the measured floor this trades against)."""
     tab = get_tableau(solver)
     needed = tuple(_needed_stages(tab))
     itp = _interpret_default() if interpret is None else interpret
@@ -884,13 +948,15 @@ def fused_rk_multistep_wide(ws: WideSpec, solver: str, dt: float,
 
 
 def _frmw_fwd(ws, solver, dt, n_steps, x0, c1p, w1p, c2p, w2p, interpret,
-              lowrank):
+              lowrank, bwd_precision):
     ys = fused_rk_multistep_wide(ws, solver, dt, n_steps, x0,
-                                 c1p, w1p, c2p, w2p, interpret, lowrank)
+                                 c1p, w1p, c2p, w2p, interpret, lowrank,
+                                 bwd_precision)
     return ys, (x0, ys, c1p, w1p, c2p, w2p)
 
 
-def _frmw_bwd(ws, solver, dt, n_steps, interpret, lowrank, res, gys):
+def _frmw_bwd(ws, solver, dt, n_steps, interpret, lowrank, bwd_precision,
+              res, gys):
     x0, ys, c1p, w1p, c2p, w2p = res
     tab = get_tableau(solver)
     needed = tuple(_needed_stages(tab))
@@ -914,23 +980,25 @@ def _frmw_bwd(ws, solver, dt, n_steps, interpret, lowrank, res, gys):
         live = [i for i in range(tab.stages) if needed[i]]
         consts = [jnp.asarray(m) for m in
                   _lowrank_batch_consts(ws, tab, dt, live, window)]
+        with _prec_ctx(_BWD_PRECS[bwd_precision]):
+            dx, dc1, dw1, dc2, dw2 = pl.pallas_call(
+                partial(_wide_multistep_bwd_kernel_lr, ws, tab, dt,
+                        needed, n_steps, window),
+                out_shape=out_shape,
+                interpret=itp, **_vmem_kw(itp),
+            )(x0, ys, c1p, w1p, c2p, w2p, gsm, esm, *consts, gys)
+        return dx, dc1, dw1, dc2, dw2
+    with _prec_ctx(_BWD_PRECS[bwd_precision]):
         dx, dc1, dw1, dc2, dw2 = pl.pallas_call(
-            partial(_wide_multistep_bwd_kernel_lr, ws, tab, dt, needed,
+            partial(_wide_multistep_bwd_kernel, ws, tab, dt, needed,
                     n_steps, window),
             out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((n_live * window * K, ws.H), jnp.float32),
+                pltpu.VMEM((n_live * window * K, ws.Opad), jnp.float32),
+            ],
             interpret=itp, **_vmem_kw(itp),
-        )(x0, ys, c1p, w1p, c2p, w2p, gsm, esm, *consts, gys)
-        return dx, dc1, dw1, dc2, dw2
-    dx, dc1, dw1, dc2, dw2 = pl.pallas_call(
-        partial(_wide_multistep_bwd_kernel, ws, tab, dt, needed, n_steps,
-                window),
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((n_live * window * K, ws.H), jnp.float32),
-            pltpu.VMEM((n_live * window * K, ws.Opad), jnp.float32),
-        ],
-        interpret=itp, **_vmem_kw(itp),
-    )(x0, ys, c1p, w1p, c2p, w2p, gsm, esm, ssm, gys)
+        )(x0, ys, c1p, w1p, c2p, w2p, gsm, esm, ssm, gys)
     return dx, dc1, dw1, dc2, dw2
 
 
@@ -938,12 +1006,14 @@ fused_rk_multistep_wide.defvjp(_frmw_fwd, _frmw_bwd)
 
 
 def wide_chain_adapter(chain, block: int = 128, multistep: bool = True,
-                       solver: str = "tsit5"):
+                       solver: str = "tsit5",
+                       bwd_precision: str = "highest"):
     """Build (ws, advance) for a 2-layer chain with a wide state:
     `advance(params, x_unpadded, dt, n_steps)` runs n_steps fused wide
     RK steps and returns the unpadded final state. multistep=True runs
     the whole chain in ONE kernel launch (fwd) + one (bwd); False scans
-    single-step kernels (one launch per step)."""
+    single-step kernels (one launch per step). bwd_precision applies to
+    the multistep backward only (see _BWD_PRECS)."""
     from kanodes_tpu.ops.kdense_pallas import chain_spec_of, fused_params
 
     spec = chain_spec_of(chain)
@@ -958,7 +1028,8 @@ def wide_chain_adapter(chain, block: int = 128, multistep: bool = True,
 
         if multistep:
             ys = fused_rk_multistep_wide(ws, solver, dt, n_steps, xp,
-                                         c1p, w1p, c2p, w2p)
+                                         c1p, w1p, c2p, w2p, None, None,
+                                         bwd_precision)
             return ys[-1][:, :ws.I]
 
         def body(c, _):
