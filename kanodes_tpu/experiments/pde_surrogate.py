@@ -181,7 +181,8 @@ def make_fns(cfg: SurrogateConfig, model: KANChain,
             h = dt_total / n_steps
 
             def body(c, _):
-                return fused_rk_step(spec, cfg.rk_solver, h, c, *fp), None
+                return fused_rk_step(spec, cfg.rk_solver, h, c, *fp,
+                                     None, cfg.bwd_precision), None
 
             x, _ = jax.lax.scan(body, x, None, length=n_steps)
             return x
@@ -190,7 +191,8 @@ def make_fns(cfg: SurrogateConfig, model: KANChain,
             def fused_trajectory(params):
                 fp = fused_params(params)
                 ys = fused_rk_multistep(spec, cfg.rk_solver, base_h,
-                                        total_steps, u0[None], *fp)
+                                        total_steps, u0[None], *fp,
+                                        None, cfg.bwd_precision)
                 return ys[snap_rows][:, 0, :]
 
     def predict(params):

@@ -34,6 +34,35 @@ from jax.experimental import pallas as pl
 
 Array = jax.Array
 
+# Shared kernel dot-precision holder (1-elem list so every kernel
+# module sees the same mutable cell). HIGHEST = exact f32 via 6-pass
+# MXU emulation; the backward kernels can be dropped to 1-pass bf16
+# per call (see fused_rk_multistep*'s bwd_precision) — the measured
+# trajectory-mode floor is this pass count (ops/rk_fused_wide).
+_PREC = [jax.lax.Precision.HIGHEST]
+
+_BWD_PRECS = {
+    "highest": jax.lax.Precision.HIGHEST,   # exact f32 (6 MXU passes)
+    "bf16": jax.lax.Precision.DEFAULT,      # 1 MXU pass
+}
+
+
+class _prec_ctx:
+    """Trace-time dot-precision override for backward kernels (kernel
+    bodies read _PREC[0] while pallas_call traces them, synchronously,
+    inside this context)."""
+
+    def __init__(self, p):
+        self.p = p
+
+    def __enter__(self):
+        self.old = _PREC[0]
+        _PREC[0] = self.p
+
+    def __exit__(self, *exc):
+        _PREC[0] = self.old
+
+
 
 def _interpret_default() -> bool:
     # Pallas TPU kernels need a TPU; interpret elsewhere (tests on CPU).
@@ -110,13 +139,13 @@ def _layer_fwd(x, c, w, gflat, h, expand, normalizer="tanh"):
     gflat[1,I*G], expand[I,I*G]. Returns (y, u, basis)."""
     xn = _norm(x, normalizer)
     xn_rep = jnp.dot(xn, expand, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                precision=_PREC[0])
     u = (xn_rep - gflat) * (1.0 / h)
     basis = jnp.exp(-(u * u))                          # [K, I*G]
     y = jnp.dot(basis, c, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST) \
+                precision=_PREC[0]) \
         + jnp.dot(_swish(x), w, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                precision=_PREC[0])
     return y, u, basis
 
 
@@ -124,19 +153,19 @@ def _layer_bwd(x, c, w, gflat, h, u, basis, gy, collapse,
                normalizer="tanh"):
     """Backward of one layer. gy: [K, O]. Returns (dx, dc, dw)."""
     dc = jnp.dot(basis.T, gy, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                precision=_PREC[0])
     dw = jnp.dot(_swish(x).T, gy, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                precision=_PREC[0])
     # spline path: dbasis = gy @ c.T ; du = -2 u basis ; dxn_rep = du / h
     m = jnp.dot(gy, c.T, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)   # [K, I*G]
+                precision=_PREC[0])   # [K, I*G]
     dxn_rep = m * (-2.0 * u * basis) * (1.0 / h)
     dxn = jnp.dot(dxn_rep, collapse,
                   preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)           # [K, I]
+                precision=_PREC[0])           # [K, I]
     dx = dxn * _dnorm(x, normalizer) + jnp.dot(
         gy, w.T, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST) * _dswish(x)
+                precision=_PREC[0]) * _dswish(x)
     return dx, dc, dw
 
 

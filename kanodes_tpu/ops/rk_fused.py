@@ -39,7 +39,8 @@ from jax.experimental import pallas as pl
 from kanodes_tpu.ode.tableaus import Tableau, get_tableau
 from kanodes_tpu.ops.kdense_pallas import (ChainSpec, _interpret_default,
                                            _layer_fwd, _layer_bwd,
-                                           _swish, _dswish, _dnorm)
+                                           _swish, _dswish, _dnorm,
+                                           _PREC, _BWD_PRECS, _prec_ctx)
 
 Array = jax.Array
 
@@ -88,14 +89,14 @@ def _layer_bwd_dx(x, c, w, gflat, h, u, basis, gy, collapse,
                   normalizer="tanh"):
     """dx-path of _layer_bwd only (the parameter GEMMs are deferred)."""
     m = jnp.dot(gy, c.T, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)   # [K, I*G]
+                precision=_PREC[0])   # [K, I*G]
     dxn_rep = m * (-2.0 * u * basis) * (1.0 / h)
     dxn = jnp.dot(dxn_rep, collapse,
                   preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)           # [K, I]
+                  precision=_PREC[0])           # [K, I]
     return dxn * _dnorm(x, normalizer) + jnp.dot(
         gy, w.T, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST) * _dswish(x)
+        precision=_PREC[0]) * _dswish(x)
 
 
 def _chain_vjp_collect(x, y1, c1, w1, c2, w2, g1, g2, e1, e2, s1, s2, h,
@@ -115,7 +116,7 @@ def _dot_t0(a, b):
     """a^T @ b without materializing the transpose (contract dim 0)."""
     return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
+                               precision=_PREC[0])
 
 
 def _chain_param_gemms(ops):
@@ -226,14 +227,16 @@ def _consts(spec: ChainSpec):
             jnp.asarray(spec.collapse(spec.hidden)))
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 8))
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 8, 9))
 def fused_rk_step(spec: ChainSpec, solver: str, dt: float,
-                  x, c1, w1, c2, w2, interpret: bool | None = None):
+                  x, c1, w1, c2, w2, interpret: bool | None = None,
+                  bwd_precision: str = "highest"):
     """One whole RK step y = x + dt*sum(b_i k_i) as ONE Pallas kernel.
 
     x: [K, I] batch of states; solver: fixed-step tableau name; dt:
     static step size. Differentiable w.r.t. x and all params via the
-    single-kernel discrete adjoint.
+    single-kernel discrete adjoint. bwd_precision: "highest" (exact-f32
+    backward) | "bf16" (1-pass MXU dots in the backward kernel only).
     """
     tab = get_tableau(solver)
     needed = tuple(_needed_stages(tab))
@@ -246,28 +249,31 @@ def fused_rk_step(spec: ChainSpec, solver: str, dt: float,
     )(x, c1, w1, c2, w2, g1, g2, e1, e2)
 
 
-def _frs_fwd(spec, solver, dt, x, c1, w1, c2, w2, interpret):
-    y = fused_rk_step(spec, solver, dt, x, c1, w1, c2, w2, interpret)
+def _frs_fwd(spec, solver, dt, x, c1, w1, c2, w2, interpret,
+             bwd_precision):
+    y = fused_rk_step(spec, solver, dt, x, c1, w1, c2, w2, interpret,
+                      bwd_precision)
     return y, (x, c1, w1, c2, w2)
 
 
-def _frs_bwd(spec, solver, dt, interpret, res, gy):
+def _frs_bwd(spec, solver, dt, interpret, bwd_precision, res, gy):
     x, c1, w1, c2, w2 = res
     tab = get_tableau(solver)
     needed = tuple(_needed_stages(tab))
     itp = _interpret_default() if interpret is None else interpret
     g1, g2, e1, e2, s1, s2 = _consts(spec)
-    dx, dc1, dw1, dc2, dw2 = pl.pallas_call(
-        partial(_step_bwd_kernel, spec, tab, dt, needed),
-        out_shape=(
-            jax.ShapeDtypeStruct(x.shape, jnp.float32),
-            jax.ShapeDtypeStruct(c1.shape, jnp.float32),
-            jax.ShapeDtypeStruct(w1.shape, jnp.float32),
-            jax.ShapeDtypeStruct(c2.shape, jnp.float32),
-            jax.ShapeDtypeStruct(w2.shape, jnp.float32),
-        ),
-        interpret=itp,
-    )(x, c1, w1, c2, w2, g1, g2, e1, e2, s1, s2, gy)
+    with _prec_ctx(_BWD_PRECS[bwd_precision]):
+        dx, dc1, dw1, dc2, dw2 = pl.pallas_call(
+            partial(_step_bwd_kernel, spec, tab, dt, needed),
+            out_shape=(
+                jax.ShapeDtypeStruct(x.shape, jnp.float32),
+                jax.ShapeDtypeStruct(c1.shape, jnp.float32),
+                jax.ShapeDtypeStruct(w1.shape, jnp.float32),
+                jax.ShapeDtypeStruct(c2.shape, jnp.float32),
+                jax.ShapeDtypeStruct(w2.shape, jnp.float32),
+            ),
+            interpret=itp,
+        )(x, c1, w1, c2, w2, g1, g2, e1, e2, s1, s2, gy)
     return dx, dc1, dw1, dc2, dw2
 
 
@@ -415,10 +421,11 @@ def _multistep_bwd_kernel(spec, tab, dt, needed, n_steps, window,
     dw2_ref[:] = dw2
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 9))
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 9, 10))
 def fused_rk_multistep(spec: ChainSpec, solver: str, dt: float,
                        n_steps: int, x0, c1, w1, c2, w2,
-                       interpret: bool | None = None):
+                       interpret: bool | None = None,
+                       bwd_precision: str = "highest"):
     """n_steps whole RK steps in ONE kernel launch; returns the full
     post-step state history ys [n_steps, K, I] (x0 NOT included).
 
@@ -436,30 +443,33 @@ def fused_rk_multistep(spec: ChainSpec, solver: str, dt: float,
     )(x0, c1, w1, c2, w2, g1, g2, e1, e2)
 
 
-def _frm_fwd(spec, solver, dt, n_steps, x0, c1, w1, c2, w2, interpret):
+def _frm_fwd(spec, solver, dt, n_steps, x0, c1, w1, c2, w2, interpret,
+             bwd_precision):
     ys = fused_rk_multistep(spec, solver, dt, n_steps, x0, c1, w1, c2, w2,
-                            interpret)
+                            interpret, bwd_precision)
     return ys, (x0, ys, c1, w1, c2, w2)
 
 
-def _frm_bwd(spec, solver, dt, n_steps, interpret, res, gys):
+def _frm_bwd(spec, solver, dt, n_steps, interpret, bwd_precision, res,
+             gys):
     x0, ys, c1, w1, c2, w2 = res
     tab = get_tableau(solver)
     needed = tuple(_needed_stages(tab))
     itp = _interpret_default() if interpret is None else interpret
     g1, g2, e1, e2, s1, s2 = _consts(spec)
-    dx, dc1, dw1, dc2, dw2 = pl.pallas_call(
-        partial(_multistep_bwd_kernel, spec, tab, dt, needed, n_steps,
-                _bwd_window(n_steps)),
-        out_shape=(
-            jax.ShapeDtypeStruct(x0.shape, jnp.float32),
-            jax.ShapeDtypeStruct(c1.shape, jnp.float32),
-            jax.ShapeDtypeStruct(w1.shape, jnp.float32),
-            jax.ShapeDtypeStruct(c2.shape, jnp.float32),
-            jax.ShapeDtypeStruct(w2.shape, jnp.float32),
-        ),
-        interpret=itp,
-    )(x0, ys, c1, w1, c2, w2, g1, g2, e1, e2, s1, s2, gys)
+    with _prec_ctx(_BWD_PRECS[bwd_precision]):
+        dx, dc1, dw1, dc2, dw2 = pl.pallas_call(
+            partial(_multistep_bwd_kernel, spec, tab, dt, needed, n_steps,
+                    _bwd_window(n_steps)),
+            out_shape=(
+                jax.ShapeDtypeStruct(x0.shape, jnp.float32),
+                jax.ShapeDtypeStruct(c1.shape, jnp.float32),
+                jax.ShapeDtypeStruct(w1.shape, jnp.float32),
+                jax.ShapeDtypeStruct(c2.shape, jnp.float32),
+                jax.ShapeDtypeStruct(w2.shape, jnp.float32),
+            ),
+            interpret=itp,
+        )(x0, ys, c1, w1, c2, w2, g1, g2, e1, e2, s1, s2, gys)
     return dx, dc1, dw1, dc2, dw2
 
 

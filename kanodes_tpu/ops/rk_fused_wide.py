@@ -38,50 +38,28 @@ from jax.experimental.pallas import tpu as pltpu
 
 from kanodes_tpu.ode.tableaus import get_tableau
 from kanodes_tpu.ops.kdense_pallas import (ChainSpec, _interpret_default,
-                                           _norm, _dnorm, _swish, _dswish)
+                                           _norm, _dnorm, _swish, _dswish,
+                                           _PREC, _BWD_PRECS, _prec_ctx)
 from kanodes_tpu.ops.rk_fused import _needed_stages, _bwd_window
 
 Array = jax.Array
 
-_PREC = jax.lax.Precision.HIGHEST
-
-# Backward-pass dot precision. The v5e MXU is bf16-native: HIGHEST
-# (exact f32) costs 6 accumulation passes per GEMM, and the K=1
-# trajectory floor is measured to be EXACTLY this pass count (297 it/s
-# at DEFAULT vs 151 at HIGHEST on the Schrödinger shape, while every
-# structural change — dependency-depth, op batching, window size — was
-# neutral). The FORWARD kernels always stay HIGHEST: the loss floor
-# (1e-14 on Allen-Cahn) needs an exact forward. The BACKWARD tolerates
+# Backward-pass dot precision (shared holder in kdense_pallas). The
+# v5e MXU is bf16-native: HIGHEST (exact f32) costs 6 accumulation
+# passes per GEMM, and the K=1 trajectory floor is measured to be
+# EXACTLY this pass count (297 it/s at DEFAULT vs 151 at HIGHEST on
+# the Schrödinger shape, while every structural change —
+# dependency-depth, op batching, window size — was neutral). The
+# FORWARD kernels always stay HIGHEST: the loss floor (1e-14 on
+# Allen-Cahn) needs an exact forward. The BACKWARD tolerates
 # bf16-grade gradient noise under Adam (validated end-to-end: equal
-# final loss on the full-budget surrogate runs, see EXPERIMENTS.md),
-# so it is selectable per call.
-_BWD_PRECS = {
-    "highest": jax.lax.Precision.HIGHEST,   # exact f32 (6 MXU passes)
-    "bf16": jax.lax.Precision.DEFAULT,      # 1 MXU pass
-}
-
-
-class _prec_ctx:
-    """Trace-time dot-precision override for the backward kernels (the
-    kernel bodies read the module global via `_dot` while pallas_call
-    traces them, synchronously, inside this context)."""
-
-    def __init__(self, p):
-        self.p = p
-
-    def __enter__(self):
-        global _PREC
-        self.old = _PREC
-        _PREC = self.p
-
-    def __exit__(self, *exc):
-        global _PREC
-        _PREC = self.old
+# best loss on the full-budget surrogate runs, see EXPERIMENTS.md),
+# so it is selectable per call (bwd_precision).
 
 
 def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                   precision=_PREC)
+                   precision=_PREC[0])
 
 
 class WideSpec:
@@ -144,7 +122,7 @@ def _dot_t0(a, b):
     """a^T @ b without materializing the transpose (contract dim 0)."""
     return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32,
-                               precision=_PREC)
+                               precision=_PREC[0])
 
 
 def _wide_gridrow(ws: WideSpec):
@@ -785,7 +763,7 @@ def _dot_t1(a, b):
     """a @ b^T without materializing the transpose (contract dim 1)."""
     return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32,
-                               precision=_PREC)
+                               precision=_PREC[0])
 
 
 def _wide_multistep_bwd_kernel_lr(ws, tab, dt, needed, n_steps, window,

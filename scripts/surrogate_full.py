@@ -24,7 +24,10 @@ import time
 PROBLEM = sys.argv[1] if len(sys.argv) > 1 else "schrodinger"
 RK_SOLVER = sys.argv[2] if len(sys.argv) > 2 else "tsit5"
 SUBSTEPS = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+BWD_PREC = sys.argv[4] if len(sys.argv) > 4 else "highest"
 _TAG = "" if RK_SOLVER == "tsit5" else f"_{RK_SOLVER}"
+if BWD_PREC != "highest":
+    _TAG += f"_{BWD_PREC}"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -62,6 +65,7 @@ PHASES = PHASES_BY_PROBLEM[PROBLEM]
 
 base = SurrogateConfig(problem=PROBLEM, impl="fused",
                        rk_solver=RK_SOLVER, substeps=SUBSTEPS,
+                       bwd_precision=BWD_PREC,
                        max_iters_per_call=2_000, eval_every=500)
 data = make_data(base)
 model = make_model(base, data)

@@ -183,3 +183,53 @@ def test_lowrank_rejects_batched_state(wide_setup):
 
     with pytest.raises(ValueError, match="K == 1"):
         jax.grad(loss)(x0)
+
+
+def test_vpu_forward_matches_mxu_step_path(wide_setup):
+    """K=1 multistep forward (VPU wide dot, exact f32) == the
+    single-step kernel forward (MXU HIGHEST dot) up to f32
+    reassociation — the VPU path must not be a precision trade."""
+    from kanodes_tpu.ops.kdense_pallas import chain_spec_of, fused_params
+    from kanodes_tpu.ops.rk_fused_wide import (WideSpec,
+                                               fused_rk_multistep_wide,
+                                               fused_rk_step_wide)
+    chain, params = wide_setup
+    ws = WideSpec(chain_spec_of(chain))
+    pp = ws.pad_params(*fused_params(params))
+    x0 = jnp.pad(jnp.asarray(np.random.default_rng(11).normal(
+        0, 0.25, (1, 150)), jnp.float32), ((0, 0), (0, ws.Ipad - 150)))
+    dt, n = 0.04, 6
+    ys = fused_rk_multistep_wide(ws, "tsit5", dt, n, x0, *pp)
+    x = x0
+    for s in range(n):
+        x = fused_rk_step_wide(ws, "tsit5", dt, x, *pp)
+        np.testing.assert_allclose(np.asarray(ys[s]), np.asarray(x),
+                                   rtol=2e-6, atol=1e-7)
+
+
+def test_bwd_precision_option_threads(wide_setup):
+    """bwd_precision="bf16" must produce gradients agreeing with
+    "highest" (identical math in CPU interpret mode; on TPU the bf16
+    backward is validated end-to-end by the full-budget surrogate
+    runs, see EXPERIMENTS.md)."""
+    from kanodes_tpu.ops.kdense_pallas import chain_spec_of, fused_params
+    from kanodes_tpu.ops.rk_fused_wide import (WideSpec,
+                                               fused_rk_multistep_wide)
+    chain, params = wide_setup
+    ws = WideSpec(chain_spec_of(chain))
+    pp = ws.pad_params(*fused_params(params))
+    x0 = jnp.pad(jnp.asarray(np.random.default_rng(12).normal(
+        0, 0.25, (1, 150)), jnp.float32), ((0, 0), (0, ws.Ipad - 150)))
+
+    def loss(bp, x, c1p, w1p, c2p, w2p):
+        ys = fused_rk_multistep_wide(ws, "rk4", 0.02, 4, x,
+                                     c1p, w1p, c2p, w2p, None, None, bp)
+        return jnp.mean(ys ** 2)
+
+    g_hi = jax.grad(lambda *a: loss("highest", *a),
+                    argnums=(0, 1, 2, 3, 4))(x0, *pp)
+    g_bf = jax.grad(lambda *a: loss("bf16", *a),
+                    argnums=(0, 1, 2, 3, 4))(x0, *pp)
+    for a, b in zip(g_hi, g_bf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-8)
