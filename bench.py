@@ -44,43 +44,53 @@ def main() -> None:
     traj_loss_fn, _, _ = make_ode_fns(LVConfig(impl="fused"), model, data)
     traj_loss = jax.jit(traj_loss_fn)
 
-    def make_train(cfg, iters):
-        loss_fn, _, _ = make_ode_fns(cfg, model, data)
-        opt = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr)
-        vg = jax.value_and_grad(loss_fn)
+    # phase A: a device-side while_loop of 128-iteration L=1 shooting
+    # chunks that STOPS at the first chunk whose reference-protocol
+    # trajectory loss crosses the target — zero host round-trips inside
+    # the timed region. bf16 backward: +17-23% measured on the narrow
+    # shooting kernels (forward and the reference-protocol metric stay
+    # exact f32, so the 8.3e-7 stopping criterion is exact). Measured
+    # crossing: 3200 iters / ~0.07 s (lr swept 3e-3..1.2e-2; 5e-3 is
+    # the fastest-with-margin point).
+    cfgA = LVConfig(solve_mode="shooting", segment_len=1, lr=5e-3,
+                    impl="fused", bwd_precision="bf16")
+    lossA_fn, _, _ = make_ode_fns(cfgA, model, data)
+    opt_s1 = optax.adam(cfgA.lr)
+    vgA = jax.value_and_grad(lossA_fn)
+    CHUNK_A, MAX_A = 128, 100
 
-        @jax.jit
-        def tr(params, opt_state):
-            def step(c, _):
-                p, s = c
-                l, g = vg(p)
-                u, s = opt.update(g, s, p)
-                return (optax.apply_updates(p, u), s), l
+    @jax.jit
+    def train_a_to_target(params, opt_state):
+        def inner(c, _):
+            p, s = c
+            _, g = vgA(p)
+            u, s = opt_s1.update(g, s, p)
+            return (optax.apply_updates(p, u), s), None
 
-            (p, s), ls = lax.scan(step, (params, opt_state), None,
-                                  length=iters)
-            # fold the reference-protocol metric into the same device
-            # call: one host round-trip per chunk
-            return p, s, ls, traj_loss_fn(p)
+        def cond(c):
+            i, _, _, cur = c
+            return (cur > REFERENCE_LOSS) & (i < MAX_A)
 
-        return tr, opt
+        def body(c):
+            i, p, s, _ = c
+            (p, s), _ = lax.scan(inner, (p, s), None, length=CHUNK_A)
+            return i + 1, p, s, traj_loss_fn(p)
 
-    tr_s1, opt_s1 = make_train(
-        LVConfig(solve_mode="shooting", segment_len=1, lr=3e-3,
-                 impl="fused"), 5000)
+        i0 = jnp.asarray(0, jnp.int32)
+        return lax.while_loop(cond, body,
+                              (i0, params, opt_state, jnp.asarray(1.0)))
 
-    # phase B: a device-side while_loop that trains (L=4 shooting) and
-    # STOPS the moment the reference-protocol trajectory loss crosses
-    # the target — zero host round-trips inside the timed region
+    # phase B (rescue): L=4 shooting while_loop, same stopping rule —
+    # exits immediately when phase A already crossed the target
     cfgB = LVConfig(solve_mode="shooting", segment_len=4, lr=1e-3,
-                    impl="fused")
+                    impl="fused", bwd_precision="bf16")
     lossB_fn, _, _ = make_ode_fns(cfgB, model, data)
     opt_s4 = optax.adam(1e-3)
     vgB = jax.value_and_grad(lossB_fn)
     MAX_B = 30_000
 
     @jax.jit
-    def train_to_target(params, opt_state):
+    def train_to_target(params, opt_state, cur0):
         def cond(c):
             i, _, _, cur = c
             return (cur > REFERENCE_LOSS) & (i < MAX_B)
@@ -94,24 +104,24 @@ def main() -> None:
 
         i0 = jnp.asarray(0, jnp.int32)
         return lax.while_loop(cond, body,
-                              (i0, params, opt_state, jnp.asarray(1.0)))
+                              (i0, params, opt_state, cur0))
 
     # compile (excluded from the timing; persistent-cached across runs)
     p = params0
-    s1 = opt_s1.init(p)
-    jax.block_until_ready(tr_s1(p, s1)[2])
-    jax.block_until_ready(train_to_target(p, opt_s4.init(p))[3])
+    jax.block_until_ready(train_a_to_target(p, opt_s1.init(p))[3])
+    jax.block_until_ready(
+        train_to_target(p, opt_s4.init(p), jnp.asarray(1.0))[3])
     jax.block_until_ready(traj_loss(p))
 
     def measure():
         """One from-scratch timed training run to the target loss."""
         p = params0
         t0 = time.time()
-        p, _, ls, _ = tr_s1(p, opt_s1.init(p))
-        n_b, p, _, cur = train_to_target(p, opt_s4.init(p))
+        _, p, _, la = train_a_to_target(p, opt_s1.init(p))
+        n_b, p, _, cur = train_to_target(p, opt_s4.init(p), la)
         final_loss = float(cur)
         elapsed = time.time() - t0
-        return elapsed, final_loss, int(n_b), float(ls[-1])
+        return elapsed, final_loss, int(n_b), float(la)
 
     # one discarded warm-up then median of 5: single-run spread is
     # dominated by tunnel-dispatch noise, not device work

@@ -83,6 +83,10 @@ class LVConfig:
     # xla: plain jnp RHS | pallas: fused chain-RHS kernel | fused:
     # whole-RK-step kernels (fastest; fixed/shooting modes only)
     impl: str = "xla"
+    # fused-kernel backward dot precision: "highest" (exact f32) |
+    # "bf16" (1-pass MXU dots; forward stays exact f32). See
+    # ops/rk_fused_wide.py for the measurement that motivates it.
+    bwd_precision: str = "highest"
     seed: int = 0
     # upper bound on iterations per device execution (tunnel safety;
     # lower it for slow per-iter modes like adaptive)
@@ -157,7 +161,8 @@ def make_ode_fns(cfg: LVConfig, model, data):
             per substep)."""
             fp = fused_params(params)
             for _ in range(cfg.substeps):
-                x = fused_rk_step(spec, "tsit5", h, x, *fp)
+                x = fused_rk_step(spec, "tsit5", h, x, *fp,
+                                  None, cfg.bwd_precision)
             return x
 
     if cfg.impl == "pallas" and cfg.model == "kan":
@@ -182,7 +187,8 @@ def make_ode_fns(cfg: LVConfig, model, data):
             n_steps = (t_grid.shape[0] - 1) * cfg.substeps
             # whole solve in ONE kernel launch (+1 for its backward)
             ys = fused_rk_multistep(spec, "tsit5", h, n_steps, u0[None],
-                                    *fused_params(params))
+                                    *fused_params(params),
+                                    None, cfg.bwd_precision)
             ys = jnp.concatenate([u0[None, None], ys], axis=0)
             if cfg.substeps != 1:
                 ys = ys[::cfg.substeps]

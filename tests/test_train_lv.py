@@ -193,3 +193,28 @@ def test_adaptive_vs_fixed_gradient_equivalence():
     assert cos > 0.9999, cos
     np.testing.assert_allclose(np.asarray(fa), np.asarray(ff),
                                rtol=2e-2, atol=1e-6)
+
+
+def test_lv_fused_bwd_precision_threads():
+    """LVConfig.bwd_precision must reach the fused kernels: in CPU
+    interpret mode both settings execute identical math, so shooting-
+    and trajectory-mode losses/gradients must agree exactly (on TPU the
+    bf16 backward is validated by the bench convergence)."""
+    import jax
+
+    data = make_data(LVConfig())
+    model = make_model(LVConfig())
+    params = init_params(LVConfig(), model)
+    params = jax.tree_util.tree_map(lambda a: a + 0.05, params)
+    for mode, seg in (("shooting", 2), ("fixed", 1)):
+        fns = {}
+        for bp in ("highest", "bf16"):
+            cfg = LVConfig(solve_mode=mode, segment_len=seg,
+                           impl="fused", bwd_precision=bp)
+            loss_fn, _, _ = make_ode_fns(cfg, model, data)
+            fns[bp] = jax.value_and_grad(loss_fn)(params)
+        np.testing.assert_allclose(fns["highest"][0], fns["bf16"][0],
+                                   rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(fns["highest"][1]),
+                        jax.tree_util.tree_leaves(fns["bf16"][1])):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-9)
