@@ -42,6 +42,9 @@ class SourceConfig:
     substeps: int | None = None        # None -> per-problem default
     max_iters_per_call: int | None = None
     impl: str = "xla"                  # xla | fused (whole-RK-step kernel)
+    # fused-kernel backward dot precision: "highest" | "bf16" (1-pass
+    # MXU dots in the backward only; see ops/rk_fused_wide.py)
+    bwd_precision: str = "highest"
     seed: int = 0
     # multi-device: shard the spatial grid over `sp` devices. The known
     # diffusion operator becomes the shard_map halo-exchange stencil of
@@ -128,7 +131,8 @@ def make_fns(cfg: SourceConfig, model: KDense, data: datagen.PDEData):
                                 substeps=cfg.resolved_substeps())
     elif cfg.impl == "fused":
         from kanodes_tpu.ops.graybox_fused import graybox_kernel_adapter
-        _, _advance = graybox_kernel_adapter(model, lap, float(D))
+        _, _advance = graybox_kernel_adapter(model, lap, float(D),
+                                             cfg.bwd_precision)
         sub = cfg.resolved_substeps()
         dt_save = float(data.ts[1] - data.ts[0])
 

@@ -26,17 +26,16 @@ from jax.experimental import pallas as pl
 
 from kanodes_tpu.ode.tableaus import get_tableau
 from kanodes_tpu.ops.kdense_pallas import (_interpret_default, _norm,
-                                           _dnorm, _swish, _dswish)
+                                           _dnorm, _swish, _dswish,
+                                           _PREC, _BWD_PRECS, _prec_ctx)
 from kanodes_tpu.ops.rk_fused import _needed_stages
 
 Array = jax.Array
 
-_PREC = jax.lax.Precision.HIGHEST
-
 
 def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                   precision=_PREC)
+                   precision=_PREC[0])
 
 
 class GrayboxSpec:
@@ -166,15 +165,18 @@ def _gb_bwd_kernel(spec, tab, dt, D, needed,
     dw_ref[:] = dw.reshape(1, 1)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 8))
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 8, 9))
 def fused_graybox_rk_step(spec: GrayboxSpec, solver: str, dt: float,
                           D: float, u, lap, c, w,
-                          interpret: bool | None = None):
+                          interpret: bool | None = None,
+                          bwd_precision: str = "highest"):
     """One whole RK step of du/dt = D*lap@u + phi(u) as ONE kernel.
 
     u: [K, N]; lap: [N, N] SYMMETRIC dense operator; c: [1, G] KAN
     spline coefficients; w: [1, 1] residual weight. Differentiable
-    w.r.t. u, c, w (D and lap are known physics).
+    w.r.t. u, c, w (D and lap are known physics). bwd_precision:
+    "highest" (exact-f32 backward dots) | "bf16" (1-pass MXU dots in
+    the backward kernel only; forward stays exact f32).
     """
     tab = get_tableau(solver)
     needed = tuple(_needed_stages(tab))
@@ -186,32 +188,35 @@ def fused_graybox_rk_step(spec: GrayboxSpec, solver: str, dt: float,
     )(u, lap, c, w)
 
 
-def _fgb_fwd(spec, solver, dt, D, u, lap, c, w, interpret):
-    y = fused_graybox_rk_step(spec, solver, dt, D, u, lap, c, w, interpret)
+def _fgb_fwd(spec, solver, dt, D, u, lap, c, w, interpret, bwd_precision):
+    y = fused_graybox_rk_step(spec, solver, dt, D, u, lap, c, w, interpret,
+                              bwd_precision)
     return y, (u, lap, c, w)
 
 
-def _fgb_bwd(spec, solver, dt, D, interpret, res, gy):
+def _fgb_bwd(spec, solver, dt, D, interpret, bwd_precision, res, gy):
     u, lap, c, w = res
     tab = get_tableau(solver)
     needed = tuple(_needed_stages(tab))
     itp = _interpret_default() if interpret is None else interpret
-    du, dc, dw = pl.pallas_call(
-        partial(_gb_bwd_kernel, spec, tab, dt, D, needed),
-        out_shape=(
-            jax.ShapeDtypeStruct(u.shape, jnp.float32),
-            jax.ShapeDtypeStruct(c.shape, jnp.float32),
-            jax.ShapeDtypeStruct(w.shape, jnp.float32),
-        ),
-        interpret=itp,
-    )(u, lap, c, w, gy)
+    with _prec_ctx(_BWD_PRECS[bwd_precision]):
+        du, dc, dw = pl.pallas_call(
+            partial(_gb_bwd_kernel, spec, tab, dt, D, needed),
+            out_shape=(
+                jax.ShapeDtypeStruct(u.shape, jnp.float32),
+                jax.ShapeDtypeStruct(c.shape, jnp.float32),
+                jax.ShapeDtypeStruct(w.shape, jnp.float32),
+            ),
+            interpret=itp,
+        )(u, lap, c, w, gy)
     return du, jnp.zeros_like(lap), dc, dw
 
 
 fused_graybox_rk_step.defvjp(_fgb_fwd, _fgb_bwd)
 
 
-def graybox_kernel_adapter(layer, lap: Array, D: float):
+def graybox_kernel_adapter(layer, lap: Array, D: float,
+                           bwd_precision: str = "highest"):
     """Build advance(params, u [N], dt, n_steps) -> [n_steps+1, N] for a
     1->1 KDense gray-box RHS; params is the layer's {C, W} dict."""
     spec = GrayboxSpec.of_layer(layer)
@@ -224,7 +229,7 @@ def graybox_kernel_adapter(layer, lap: Array, D: float):
 
         def body(carr, _):
             y = fused_graybox_rk_step(spec, "tsit5", dt, D, carr, lap,
-                                      c, w)
+                                      c, w, None, bwd_precision)
             return y, y
 
         _, ys = jax.lax.scan(body, x, None, length=n_steps)

@@ -65,6 +65,29 @@ def test_gradients_match_xla(setup):
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-6)
 
 
+def test_bwd_precision_option_threads(setup):
+    """bwd_precision="bf16" must thread through the adapter and produce
+    gradients agreeing with "highest" (identical math in CPU interpret
+    mode; on TPU the bf16 backward is validated end-to-end by the
+    full-budget source-recovery runs, see EXPERIMENTS.md)."""
+    layer, params, lap, D, n = setup
+    u0 = jnp.asarray(0.5 + 0.2 * np.cos(np.arange(n)), jnp.float32)
+    tgt = u0 * 1.02
+
+    grads = {}
+    for bp in ("highest", "bf16"):
+        _, advance = graybox_kernel_adapter(layer, lap, D, bp)
+
+        def loss(p):
+            return jnp.mean((advance(p, u0, 0.05, 2)[-1] - tgt) ** 2)
+
+        grads[bp] = jax.grad(loss)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(grads["highest"]),
+                    jax.tree_util.tree_leaves(grads["bf16"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-9)
+
+
 def test_rejects_non_pointwise_layer():
     with pytest.raises(ValueError):
         GrayboxSpec.of_layer(KDense(2, 1, 5))
