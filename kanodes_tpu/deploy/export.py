@@ -137,6 +137,17 @@ def export_rhs(model, params, batch: int | None = None,
     }, platforms)
 
 
+def export_field(model, params, batch: int | None = None,
+                 platforms: Sequence[str] | None = None) -> ServingArtifact:
+    """Export a pointwise field network x [B, in_dims] -> y [B, out_dims]
+    (e.g. the trained KAN-PINN displacement potential,
+    `StrainLimiting_KAN_PINN.py:188-227`) — same payload as
+    `export_rhs`, tagged kind="field" for serving-side dispatch."""
+    art = export_rhs(model, params, batch, platforms)
+    art.meta["kind"] = "field"
+    return art
+
+
 def export_trajectory(model, params, ts, solver: str = "tsit5",
                       substeps: int = 1,
                       platforms: Sequence[str] | None = None

@@ -87,6 +87,14 @@ class KANPINN:
         object.__setattr__(self, "widths", tuple(self.widths))
 
     @property
+    def in_dims(self) -> int:
+        return self.widths[0]
+
+    @property
+    def out_dims(self) -> int:
+        return self.widths[-1]
+
+    @property
     def layers(self) -> tuple[GaussianKANLayer, ...]:
         return tuple(
             GaussianKANLayer(i, o, self.n_basis,

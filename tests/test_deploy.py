@@ -89,6 +89,26 @@ def test_graybox_trajectory_roundtrip(tmp_path):
                                rtol=1e-6, atol=1e-7)
 
 
+def test_pinn_field_export(tmp_path):
+    """The generic field exporter serves the KAN-PINN displacement
+    potential (same Layer protocol as the ODE models)."""
+    from kanodes_tpu.pinn.model import KANPINN
+
+    model = KANPINN(widths=(2, 8, 1), n_basis=6)
+    params = model.init(jax.random.PRNGKey(3))
+    from kanodes_tpu.deploy import export_field
+    art = export_field(model, params)
+    assert art.meta["kind"] == "field"
+    p = str(tmp_path / "pinn.kexp")
+    art.save(p)
+    loaded = ServingArtifact.load(p)
+    xy = jnp.asarray(np.random.default_rng(5).uniform(0, 1, (13, 2)),
+                     jnp.float32)
+    np.testing.assert_allclose(np.asarray(loaded(xy)),
+                               np.asarray(model.apply(params, xy)),
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_multiplatform_payload(lv_chain):
     """Default export lowers for BOTH cpu and tpu into one artifact, so
     a dev-box export runs on the serving fleet unchanged."""
