@@ -150,28 +150,45 @@ def export_field(model, params, batch: int | None = None,
 
 def export_trajectory(model, params, ts, solver: str = "tsit5",
                       substeps: int = 1,
+                      batch: int | str | None = None,
                       platforms: Sequence[str] | None = None
                       ) -> ServingArtifact:
-    """Export the full rollout u0 [in_dims] -> ys [len(ts), in_dims]
-    over the STATIC save grid `ts` (fixed-step `solver` with `substeps`
-    substeps per save interval — the deterministic serving analogue of
-    the training-side integrator)."""
+    """Export the full rollout u0 -> ys over the STATIC save grid `ts`
+    (fixed-step `solver` with `substeps` substeps per save interval —
+    the deterministic serving analogue of the training-side integrator).
+
+    batch=None: u0 [in_dims] -> ys [T, in_dims] (single rollout).
+    batch=int or "any" (symbolic): u0 [B, in_dims] -> ys [T, B, in_dims]
+    — a fleet of initial conditions integrated in one call, the shape
+    serving actually wants (batched states keep the MXU fed)."""
     from kanodes_tpu.ode import odeint_fixed
 
     params = jax.device_get(params)
     ts = jnp.asarray(ts, jnp.float32)
 
-    def rhs(t, u, _):
-        return model.apply(params, u[None, :])[0]
+    if batch is None:
+        def rhs(t, u, _):
+            return model.apply(params, u[None, :])[0]
+        spec_shape: tuple = (model.in_dims,)
+    else:
+        def rhs(t, u, _):
+            return model.apply(params, u)
+        if batch == "any":
+            (b,) = jax_export.symbolic_shape("b")
+            spec_shape = (b, model.in_dims)
+        else:
+            spec_shape = (int(batch), model.in_dims)
 
     def f(u0):
         return odeint_fixed(rhs, u0, ts, None, solver=solver,
                             substeps=substeps)
 
-    spec = jax.ShapeDtypeStruct((model.in_dims,), jnp.float32)
+    spec = jax.ShapeDtypeStruct(spec_shape, jnp.float32)
     return export_fn(f, (spec,), {
         "kind": "trajectory",
         "in_dims": model.in_dims,
+        "batch": ("none" if batch is None
+                  else "symbolic" if batch == "any" else int(batch)),
         "n_save": int(ts.shape[0]),
         "t0": float(ts[0]),
         "t1": float(ts[-1]),

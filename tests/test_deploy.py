@@ -89,6 +89,32 @@ def test_graybox_trajectory_roundtrip(tmp_path):
                                rtol=1e-6, atol=1e-7)
 
 
+def test_trajectory_batched_symbolic(lv_chain, tmp_path):
+    """batch="any" exports a fleet-of-ICs rollout with a symbolic batch
+    dimension: one artifact integrates any number of trajectories."""
+    model, params = lv_chain
+    ts = jnp.linspace(0.0, 0.5, 6)
+    art = export_trajectory(model, params, ts, substeps=1, batch="any")
+    assert art.meta["batch"] == "symbolic"
+    p = str(tmp_path / "fleet.kexp")
+    art.save(p)
+    loaded = ServingArtifact.load(p)
+
+    def rhs(t, u, _):
+        return model.apply(params, u[None, :])[0]
+
+    for b in (2, 5):
+        u0s = jnp.asarray(np.random.default_rng(b).uniform(0.5, 1.5, (b, 2)),
+                          jnp.float32)
+        got = loaded(u0s)
+        assert got.shape == (6, b, 2)
+        for k in range(b):
+            want = odeint_fixed(rhs, u0s[k], ts, None, solver="tsit5")
+            np.testing.assert_allclose(np.asarray(got[:, k]),
+                                       np.asarray(want),
+                                       rtol=1e-5, atol=1e-6)
+
+
 def test_pinn_field_export(tmp_path):
     """The generic field exporter serves the KAN-PINN displacement
     potential (same Layer protocol as the ODE models)."""
