@@ -308,6 +308,9 @@ def run(cfg: LVConfig | None = None, params=None, *,
     if ckptr is not None:
         from kanodes_tpu.train.checkpoint import TrainState
 
+        from kanodes_tpu.deploy.spec import spec_of
+        model_spec = spec_of(model)
+
         def on_chunk(i, st):
             step = prev_step + len(st["loss_history"])
             ckptr.save(TrainState(
@@ -318,7 +321,12 @@ def run(cfg: LVConfig | None = None, params=None, *,
                 loss_history=np.concatenate(
                     [prev_loss, np.asarray(st["loss_history"])]),
                 eval_history=np.concatenate(
-                    [prev_eval, np.asarray(st["eval_history"])])))
+                    [prev_eval, np.asarray(st["eval_history"])]),
+                # model spec rides along so post-hoc tools (deploy CLI,
+                # gates) can rebuild the network without the driver's
+                # constants — the reference's `size_KAN`-in-.mat pattern
+                # (LV_driver_KANODE.jl:252-272).
+                extra={"model_spec": model_spec}))
             if verbose:
                 print(f"[lv] step {step}  train "
                       f"{float(st['loss_history'][-1]):.3e}  best "

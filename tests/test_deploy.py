@@ -149,3 +149,72 @@ def test_load_rejects_non_artifact(tmp_path):
         f.write(b"definitely not an artifact")
     with pytest.raises(ValueError, match="not a kanodes serving artifact"):
         ServingArtifact.load(p)
+
+
+def test_spec_roundtrip_all_kinds():
+    """spec_of -> model_from_spec rebuilds an equivalent model."""
+    from kanodes_tpu.deploy.spec import model_from_spec, spec_of
+    from kanodes_tpu.models import MLP, BSplineKANChain, KANChain
+
+    for model in (
+            KANChain.mlp_like([2, 7, 2], grid_len=5, basis="rswaf",
+                              normalizer="softsign"),
+            MLP((2, 9, 2), activation="tanh"),
+            BSplineKANChain([2, 5, 2], grid_size=4)):
+        spec = spec_of(model)
+        rebuilt = model_from_spec(spec)
+        params = model.init(jax.random.PRNGKey(1))
+        x = jnp.asarray(np.random.default_rng(0).normal(0, 0.5, (4, 2)),
+                        jnp.float32)
+        np.testing.assert_allclose(np.asarray(rebuilt.apply(params, x)),
+                                   np.asarray(model.apply(params, x)),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_checkpoint_to_artifact_cli(tmp_path):
+    """Train tiny LV w/ checkpoints -> `python -m kanodes_tpu.deploy`
+    export -> artifact matches live inference on the checkpointed best
+    params (the full train -> checkpoint -> deploy path)."""
+    from kanodes_tpu.deploy.__main__ import main as deploy_main
+    from kanodes_tpu.experiments import lv
+    from kanodes_tpu.train.checkpoint import Checkpointer
+
+    ckdir = str(tmp_path / "ck")
+    cfg = lv.LVConfig(iters=30, eval_every=10, solve_mode="fixed")
+    lv.run(cfg, checkpoint_dir=ckdir, verbose=False)
+
+    out = str(tmp_path / "lv.kexp")
+    rc = deploy_main(["--checkpoint", ckdir, "--kind", "trajectory",
+                      "--t1", "3.4", "--nt", "35", "--batch", "any",
+                      "--platforms", "cpu", "--out", out])
+    assert rc == 0
+
+    st = Checkpointer(ckdir).restore()
+    model = lv.make_model(cfg)
+    params = jax.tree_util.tree_map(jnp.asarray, st["best_params"])
+    ts = jnp.linspace(0.0, 3.4, 35)
+    u0s = jnp.asarray([[1.0, 1.0], [0.8, 1.2]], jnp.float32)
+
+    def rhs(t, u, _):
+        return model.apply(params, u)
+
+    want = odeint_fixed(rhs, u0s, ts, substeps=1, solver="tsit5")
+    loaded = ServingArtifact.load(out)
+    np.testing.assert_allclose(np.asarray(loaded(u0s)), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_cli_requires_spec_when_missing(tmp_path):
+    """Old checkpoints without extra['model_spec'] get a clear error."""
+    from kanodes_tpu.deploy.__main__ import main as deploy_main
+    from kanodes_tpu.models import KANChain
+    from kanodes_tpu.train.checkpoint import Checkpointer, TrainState
+
+    model = KANChain.mlp_like([2, 4, 2], grid_len=5)
+    params = model.init(jax.random.PRNGKey(0))
+    ckdir = str(tmp_path / "old")
+    Checkpointer(ckdir).save(TrainState(params=params, step=1))
+    rc = deploy_main(["--checkpoint", ckdir, "--kind", "rhs",
+                      "--platforms", "cpu",
+                      "--out", str(tmp_path / "x.kexp")])
+    assert rc == 2
