@@ -56,7 +56,16 @@ def main(argv=None) -> int:
     ap.add_argument("--substeps", type=int, default=1)
     ap.add_argument("--platforms", default="cpu,tpu",
                     help="comma-separated lowering targets")
+    ap.add_argument("--on", default=None, metavar="PLATFORM",
+                    help="jax platform to RUN the export on (e.g. 'cpu'; "
+                         "lowering needs no accelerator, so exporting on "
+                         "cpu is always safe)")
     args = ap.parse_args(argv)
+
+    import jax
+
+    if args.on:
+        jax.config.update("jax_platforms", args.on)
 
     import jax.numpy as jnp
 
@@ -71,6 +80,13 @@ def main(argv=None) -> int:
     else:
         extra = state.get("extra") or {}
         spec = extra.get("model_spec")
+        if spec is None and "pinn_cfg" in extra:
+            # PINN checkpoints carry the full PINNConfig; the model
+            # spec is its (widths, n_basis, trainable_centers) slice.
+            pc = extra["pinn_cfg"]
+            spec = {"kind": "kanpinn", "widths": list(pc["widths"]),
+                    "n_basis": int(pc["n_basis"]),
+                    "trainable_centers": bool(pc["trainable_centers"])}
         if spec is None:
             print("error: checkpoint has no extra['model_spec']; "
                   "pass --spec", file=sys.stderr)

@@ -60,6 +60,14 @@ def spec_of(model) -> dict[str, Any]:
             "grid_size": l0.grid_size,
             "spline_order": l0.spline_order,
         }
+    from kanodes_tpu.pinn.model import KANPINN
+    if isinstance(model, KANPINN):
+        return {
+            "kind": "kanpinn",
+            "widths": list(model.widths),
+            "n_basis": model.n_basis,
+            "trainable_centers": model.trainable_centers,
+        }
     raise TypeError(f"no spec rule for model type {type(model).__name__}")
 
 
@@ -90,4 +98,11 @@ def model_from_spec(spec: dict[str, Any]):
             if k in spec:
                 kw[k] = spec[k]
         return BSplineKANChain(list(spec["widths"]), **kw)
+    if kind == "kanpinn":
+        from kanodes_tpu.pinn.model import KANPINN
+        kw = {}
+        for k in ("n_basis", "trainable_centers"):
+            if k in spec:
+                kw[k] = spec[k]
+        return KANPINN(tuple(spec["widths"]), **kw)
     raise ValueError(f"unknown model spec kind: {kind!r}")

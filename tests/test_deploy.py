@@ -218,3 +218,35 @@ def test_cli_requires_spec_when_missing(tmp_path):
                       "--platforms", "cpu",
                       "--out", str(tmp_path / "x.kexp")])
     assert rc == 2
+
+
+def test_pinn_checkpoint_field_export(tmp_path):
+    """A PINN checkpoint (extra['pinn_cfg']) exports as a field artifact
+    without an explicit --spec."""
+    import dataclasses
+
+    from kanodes_tpu.deploy.__main__ import main as deploy_main
+    from kanodes_tpu.pinn.model import KANPINN
+    from kanodes_tpu.pinn.train import PINNConfig
+    from kanodes_tpu.train.checkpoint import Checkpointer, TrainState
+
+    cfg = PINNConfig(widths=(2, 8, 1), n_basis=4, trainable_centers=True)
+    model = KANPINN(cfg.widths, cfg.n_basis, cfg.trainable_centers)
+    params = model.init(jax.random.PRNGKey(3))
+    ckdir = str(tmp_path / "pinnck")
+    Checkpointer(ckdir).save(TrainState(
+        params=params, step=5,
+        extra={"pinn_cfg": dataclasses.asdict(cfg)}))
+
+    out = str(tmp_path / "field.kexp")
+    rc = deploy_main(["--checkpoint", ckdir, "--kind", "field",
+                      "--params", "last", "--batch", "any",
+                      "--platforms", "cpu", "--out", out])
+    assert rc == 0
+    loaded = ServingArtifact.load(out)
+    assert loaded.meta["kind"] == "field"
+    xy = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (9, 2)),
+                     jnp.float32)
+    np.testing.assert_allclose(np.asarray(loaded(xy)),
+                               np.asarray(model.apply(params, xy)),
+                               rtol=1e-6, atol=1e-7)
