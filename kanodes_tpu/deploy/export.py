@@ -163,6 +163,15 @@ def export_trajectory(model, params, ts, solver: str = "tsit5",
     serving actually wants (batched states keep the MXU fed)."""
     from kanodes_tpu.ode import odeint_fixed
 
+    if model.in_dims != model.out_dims:
+        # an ODE RHS maps state -> state; a mismatched model would
+        # silently broadcast inside the integrator (use export_field
+        # for field networks like the PINN potential)
+        raise ValueError(
+            f"export_trajectory needs in_dims == out_dims, got "
+            f"{model.in_dims} -> {model.out_dims}; use export_field "
+            f"for non-square networks")
+
     params = jax.device_get(params)
     ts = jnp.asarray(ts, jnp.float32)
 

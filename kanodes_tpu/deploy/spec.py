@@ -27,13 +27,28 @@ def spec_of(model) -> dict[str, Any]:
     if isinstance(model, KANChain) and all(
             isinstance(l, KDense) for l in model.layers):
         l0 = model.layers[0]
+        if not isinstance(l0.basis, str):
+            raise TypeError(
+                "spec_of cannot serialize a callable basis; use a "
+                "named basis ('rbf'/'rswaf'/'iqf') for checkpoint->"
+                "deploy rebuilds")
+        # the spec records layer-0 attrs chain-wide; a heterogeneous
+        # chain would rebuild silently wrong
+        for k in ("grid_len", "basis", "normalizer", "grid_lims",
+                  "denominator", "base_act", "use_base_act",
+                  "trainable_grid"):
+            vals = {getattr(l, k) for l in model.layers}
+            if len(vals) != 1:
+                raise ValueError(
+                    f"spec_of needs homogeneous KDense layers; "
+                    f"attribute {k!r} differs across layers: {vals}")
         widths = [model.layers[0].in_dims] + [
             l.out_dims for l in model.layers]
         return {
             "kind": "kan",
             "widths": widths,
             "grid_len": l0.grid_len,
-            "basis": l0.basis if isinstance(l0.basis, str) else "rbf",
+            "basis": l0.basis,
             "normalizer": l0.normalizer,
             "grid_lims": list(l0.grid_lims),
             "denominator": l0.denominator,
@@ -52,6 +67,12 @@ def spec_of(model) -> dict[str, Any]:
     if isinstance(model, BSplineKANChain) and all(
             isinstance(l, BSplineKAN) for l in model.layers):
         l0 = model.layers[0]
+        for k in ("grid_size", "spline_order"):
+            vals = {getattr(l, k) for l in model.layers}
+            if len(vals) != 1:
+                raise ValueError(
+                    f"spec_of needs homogeneous BSplineKAN layers; "
+                    f"attribute {k!r} differs across layers: {vals}")
         widths = [model.layers[0].in_dims] + [
             l.out_dims for l in model.layers]
         return {

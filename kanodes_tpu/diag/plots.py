@@ -159,11 +159,8 @@ def symbolic_error_contours(kan_rhs, sym_exprs: list[str], truth_rhs,
 
     kan = np.asarray(kan_rhs(jnp.asarray(pts)))            # [N, 2]
     tru = np.asarray(truth_rhs(pts))                       # [N, 2]
-    env = {"x0": pts[:, 0].astype(np.float64),
-           "x1": pts[:, 1].astype(np.float64),
-           "sin": np.sin, "cos": np.cos, "exp": np.exp,
-           "square": np.square}
-    sym = np.stack([eval(e, {"__builtins__": {}}, env)     # noqa: S307
+    from kanodes_tpu.symbolic.fit import eval_symreg_expr
+    sym = np.stack([eval_symreg_expr(e, x0=pts[:, 0], x1=pts[:, 1])
                     for e in sym_exprs], axis=1)
 
     fig, axes = plt.subplots(2, 2, figsize=(10, 8), dpi=150)
@@ -214,13 +211,10 @@ def contour_compare(truth_rhs, kan_rhs, mlp_rhs, sym_exprs: list[str],
     approx = {"kan": np.asarray(kan_rhs(jnp.asarray(pts)))}
     if mlp_rhs is not None:
         approx["mlp"] = np.asarray(mlp_rhs(jnp.asarray(pts)))
-    env = {"x0": pts[:, 0].astype(np.float64),
-           "x1": pts[:, 1].astype(np.float64),
-           "sin": np.sin, "cos": np.cos, "exp": np.exp,
-           "square": np.square}
+    from kanodes_tpu.symbolic.fit import eval_symreg_expr
     approx["symb"] = np.stack(
-        [np.broadcast_to(eval(e, {"__builtins__": {}}, env),  # noqa: S307
-                         pts[:, 0].shape) for e in sym_exprs], axis=1)
+        [eval_symreg_expr(e, x0=pts[:, 0], x1=pts[:, 1])
+         for e in sym_exprs], axis=1)
     if sym_comp_rhs is not None:
         approx["symb_comp"] = np.asarray(sym_comp_rhs(pts))
     for name, a in approx.items():
@@ -260,10 +254,8 @@ def contour_compare(truth_rhs, kan_rhs, mlp_rhs, sym_exprs: list[str],
 
 
 def _eval_edge_expr(expr: str, x: np.ndarray) -> np.ndarray:
-    env = {"x0": x.astype(np.float64), "sin": np.sin, "cos": np.cos,
-           "exp": np.exp, "square": np.square}
-    return np.broadcast_to(
-        eval(expr, {"__builtins__": {}}, env), x.shape)  # noqa: S307
+    from kanodes_tpu.symbolic.fit import eval_symreg_expr
+    return eval_symreg_expr(expr, x0=x)
 
 
 def activation_symbolic_overlays(chain, params, x_samples, edge_eqs,
@@ -321,10 +313,18 @@ def activation_symbolic_overlays(chain, params, x_samples, edge_eqs,
                 if l == 0 and I == 2:
                     base = f"{in_names[0][i]}{o + 1}"
                     sbase = f"{in_names[0][i]}_symb_{o + 1}"
-                else:
+                elif l == 1:
                     tgt = ("X", "Y")[o] if O == 2 else str(o + 1)
                     base = f"second_{i + 1}_to_{tgt}"
                     sbase = f"second_symb_{i + 1}_to_{tgt}"
+                else:
+                    # layer-indexed fallback (e.g. a 3-species layer 0):
+                    # the reference's X*/second_* names only cover its
+                    # 2-layer [2,h,2] chain, and reusing "second_*"
+                    # here would collide with layer 1's files
+                    tgt = ("X", "Y")[o] if O == 2 else str(o + 1)
+                    base = f"layer{l + 1}_{i + 1}_to_{tgt}"
+                    sbase = f"layer{l + 1}_symb_{i + 1}_to_{tgt}"
                 _single(os.path.join(out_dir, base + ".png"),
                         xv, yv, alpha)
                 ax = axes_o[i][o]

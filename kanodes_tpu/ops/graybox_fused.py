@@ -27,7 +27,8 @@ from jax.experimental import pallas as pl
 from kanodes_tpu.ode.tableaus import get_tableau
 from kanodes_tpu.ops.kdense_pallas import (_interpret_default, _norm,
                                            _dnorm, _swish, _dswish,
-                                           _PREC, _BWD_PRECS, _prec_ctx)
+                                           _PREC, _BWD_PRECS, _prec_ctx,
+                                           check_bwd_precision)
 from kanodes_tpu.ops.rk_fused import _needed_stages
 
 Array = jax.Array
@@ -178,6 +179,7 @@ def fused_graybox_rk_step(spec: GrayboxSpec, solver: str, dt: float,
     "highest" (exact-f32 backward dots) | "bf16" (1-pass MXU dots in
     the backward kernel only; forward stays exact f32).
     """
+    check_bwd_precision(bwd_precision)
     tab = get_tableau(solver)
     needed = tuple(_needed_stages(tab))
     itp = _interpret_default() if interpret is None else interpret

@@ -47,6 +47,16 @@ _BWD_PRECS = {
 }
 
 
+def check_bwd_precision(bwd_precision: str) -> str:
+    """Fail fast at call time: an invalid option would otherwise only
+    surface as an opaque KeyError when the backward first traces."""
+    if bwd_precision not in _BWD_PRECS:
+        raise ValueError(
+            f"bwd_precision must be one of {sorted(_BWD_PRECS)}, "
+            f"got {bwd_precision!r}")
+    return bwd_precision
+
+
 class _prec_ctx:
     """Trace-time dot-precision override for backward kernels (kernel
     bodies read _PREC[0] while pallas_call traces them, synchronously,

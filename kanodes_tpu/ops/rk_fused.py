@@ -40,7 +40,8 @@ from kanodes_tpu.ode.tableaus import Tableau, get_tableau
 from kanodes_tpu.ops.kdense_pallas import (ChainSpec, _interpret_default,
                                            _layer_fwd, _layer_bwd,
                                            _swish, _dswish, _dnorm,
-                                           _PREC, _BWD_PRECS, _prec_ctx)
+                                           _PREC, _BWD_PRECS, _prec_ctx,
+                                           check_bwd_precision)
 
 Array = jax.Array
 
@@ -238,6 +239,7 @@ def fused_rk_step(spec: ChainSpec, solver: str, dt: float,
     single-kernel discrete adjoint. bwd_precision: "highest" (exact-f32
     backward) | "bf16" (1-pass MXU dots in the backward kernel only).
     """
+    check_bwd_precision(bwd_precision)
     tab = get_tableau(solver)
     needed = tuple(_needed_stages(tab))
     itp = _interpret_default() if interpret is None else interpret
@@ -432,6 +434,7 @@ def fused_rk_multistep(spec: ChainSpec, solver: str, dt: float,
     The backward pass is a second single kernel that sweeps the stored
     states in reverse, accepting cotangents for EVERY saved state — so a
     trajectory loss over all save points costs exactly two launches."""
+    check_bwd_precision(bwd_precision)
     tab = get_tableau(solver)
     needed = tuple(_needed_stages(tab))
     itp = _interpret_default() if interpret is None else interpret

@@ -39,7 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 from kanodes_tpu.ode.tableaus import get_tableau
 from kanodes_tpu.ops.kdense_pallas import (ChainSpec, _interpret_default,
                                            _norm, _dnorm, _swish, _dswish,
-                                           _PREC, _BWD_PRECS, _prec_ctx)
+                                           _PREC, _BWD_PRECS, _prec_ctx,
+                                           check_bwd_precision)
 from kanodes_tpu.ops.rk_fused import _needed_stages, _bwd_window
 
 Array = jax.Array
@@ -914,6 +915,7 @@ def fused_rk_multistep_wide(ws: WideSpec, solver: str, dt: float,
     bwd_precision: "highest" (exact-f32 backward) | "bf16" (1-pass MXU
     dots in the backward kernel only; the forward stays exact — see
     _BWD_PRECS for the measured floor this trades against)."""
+    check_bwd_precision(bwd_precision)
     tab = get_tableau(solver)
     needed = tuple(_needed_stages(tab))
     itp = _interpret_default() if interpret is None else interpret

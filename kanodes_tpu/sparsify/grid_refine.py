@@ -55,6 +55,17 @@ def refine_kdense_chain_grid(chain, params, x_samples: Array, *,
     Returns (new_chain, new_params, info) with info carrying the old/new
     spans and the per-layer function-preservation error.
     """
+    for layer in chain.layers:
+        if getattr(layer, "trainable_grid", False):
+            # the learned grid_offset/log_h params would be
+            # reinterpreted against the new static lims while C was
+            # refit without them — silent corruption (measured ~195%
+            # output change at ~2e-4 reported refit error)
+            raise ValueError(
+                "refine_kdense_chain_grid does not support "
+                "trainable_grid layers: the adaptive-basis params "
+                "already adapt the span during training")
+
     ca = chain_activations(chain, params, x_samples)
 
     # 1. measured span of NORMALIZED inputs, pooled over layers (the

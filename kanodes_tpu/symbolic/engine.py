@@ -86,10 +86,10 @@ class SymbolicFit:
     size: int
 
     def __call__(self, *xs) -> np.ndarray:
+        from kanodes_tpu.symbolic.fit import SYMREG_EVAL_FNS
         env = {f"x{i}": np.asarray(x, np.float64)
                for i, x in enumerate(xs)}
-        env.update(sin=np.sin, cos=np.cos, exp=np.exp,
-                   square=np.square)
+        env.update(SYMREG_EVAL_FNS)
         return eval(self.expression, {"__builtins__": {}}, env)  # noqa: S307
 
 

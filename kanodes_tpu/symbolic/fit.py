@@ -21,6 +21,32 @@ import numpy as np
 
 from kanodes_tpu.symbolic.engine import SymbolicFit, fit_expression
 
+# the numpy evaluation environment for recovered expressions — op set
+# mirrors the unary functions native/symreg.cpp can emit. Every
+# consumer (plots, composition, re-simulation) must share THIS dict so
+# growing the GP op set is a one-place change.
+SYMREG_EVAL_FNS = {"sin": np.sin, "cos": np.cos, "exp": np.exp,
+                   "square": np.square}
+
+
+def eval_symreg_expr(expr, **variables) -> np.ndarray:
+    """Sandboxed numpy eval of a symreg expression.
+
+    `expr` is a string (or pre-`compile`d code object) over variables
+    like x0/x1 and the SYMREG_EVAL_FNS ops. Constant expressions
+    broadcast to the variables' common shape.
+    """
+    env = dict(SYMREG_EVAL_FNS)
+    shape: tuple = ()
+    for k, v in variables.items():
+        v = np.asarray(v, np.float64)
+        env[k] = v
+        shape = np.broadcast_shapes(shape, v.shape)
+    if isinstance(expr, str):
+        expr = compile(expr, "<symreg>", "eval")
+    out = eval(expr, {"__builtins__": {}}, env)  # noqa: S307
+    return np.broadcast_to(np.asarray(out, np.float64), shape)
+
 
 def simplify_expression(expr: str, precision: int = 4) -> str:
     """Canonicalize with sympy (expand + simplify + rounded constants)."""
@@ -94,15 +120,9 @@ def compose_edge_equations(edge_eqs: list[EdgeEquation],
     I, W, O = widths
     table = {(e.layer, e.i, e.o): compile(e.fit.expression, "<edge>",
                                           "eval") for e in edge_eqs}
-    env_fns = {"sin": np.sin, "cos": np.cos, "exp": np.exp,
-               "square": np.square}
 
     def _edge(l, i, o, x):
-        env = dict(env_fns)
-        env["x0"] = x.astype(np.float64)
-        return np.broadcast_to(
-            eval(table[(l, i, o)], {"__builtins__": {}}, env),  # noqa: S307
-            x.shape)
+        return eval_symreg_expr(table[(l, i, o)], x0=x)
 
     def fn(pts: np.ndarray) -> np.ndarray:
         pts = np.asarray(pts)
@@ -173,8 +193,8 @@ def resimulate_symbolic_rhs(exprs: list[str], u0, ts, n_state: int):
 
     def rhs(t, u, args):
         env = {f"x{i}": u[i] for i in range(n_state)}
-        env.update(sin=jnp.sin, cos=jnp.cos, exp=jnp.exp,
-                   square=jnp.square)
+        # the jnp twin of SYMREG_EVAL_FNS (device re-simulation)
+        env.update({k: getattr(jnp, k) for k in SYMREG_EVAL_FNS})
         return jnp.stack([eval(c, {"__builtins__": {}}, env)  # noqa: S307
                           for c in compiled])
 

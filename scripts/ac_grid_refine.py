@@ -10,8 +10,9 @@ pure risk — measured: refitting after the warmup had converged to
 recovered (first version of this script; preserved in git history).
 So the demonstration runs BOTH arms at G=5, where resolution binds:
 
-  refined:  1k shooting warmup -> span refit onto visited normalized
-            inputs (`sparsify/grid_refine`) -> remaining 99k budget;
+  refined:  a short shooting warmup (REFIT_AT=200 iters) -> span refit
+            onto visited normalized
+            inputs (`sparsify/grid_refine`) -> rest of the 1e5 budget;
   fixed:    the identical 1e5 schedule on the default [-1, 1] grid.
 
 The refit changes the fused kernels' static grid constants (one fresh
@@ -58,7 +59,7 @@ params = model.init(jax.random.PRNGKey(base.seed))
 t_all = time.time()
 history = []
 
-# ---- phase 0: 8k shooting on the default grid ------------------------------
+# ---- phase 0: REFIT_AT-iter shooting warmup on the default grid ------------
 cfg0 = dataclasses.replace(base, solve_mode="shooting")
 train_loss, eval_loss, predict = make_fns(cfg0, model, data)
 t0 = time.time()

@@ -250,3 +250,29 @@ def test_pinn_checkpoint_field_export(tmp_path):
     np.testing.assert_allclose(np.asarray(loaded(xy)),
                                np.asarray(model.apply(params, xy)),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_trajectory_rejects_non_square_model():
+    """A field network (in_dims != out_dims) must not silently
+    broadcast inside the integrator."""
+    from kanodes_tpu.pinn.model import KANPINN
+
+    model = KANPINN(widths=(2, 6, 1), n_basis=4)
+    params = model.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="in_dims == out_dims"):
+        export_trajectory(model, params, jnp.linspace(0, 1, 5))
+
+
+def test_spec_rejects_heterogeneous_and_callable():
+    from kanodes_tpu.deploy.spec import spec_of
+    from kanodes_tpu.models import KANChain
+    from kanodes_tpu.models.core import Chain
+
+    het = Chain(KDense(2, 4, 5), KDense(4, 2, 7))
+    het2 = KANChain(*het.layers)
+    with pytest.raises(ValueError, match="grid_len"):
+        spec_of(het2)
+
+    cal = KANChain(KDense(2, 2, 5, basis=lambda x, g, h: x[..., None] - g))
+    with pytest.raises(TypeError, match="callable basis"):
+        spec_of(cal)

@@ -125,3 +125,26 @@ def test_multistep_gradients_match_scan(setup):
     for a, b in zip(jax.tree_util.tree_leaves(gm),
                     jax.tree_util.tree_leaves(gs)):
         np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-6)
+
+
+def test_bwd_precision_validated_at_call():
+    """Invalid bwd_precision fails fast with a clear error, not a
+    KeyError at backward-trace time."""
+    import pytest
+
+    from kanodes_tpu.models import KDense
+    from kanodes_tpu.models.core import Chain
+    from kanodes_tpu.ops.kdense_pallas import chain_spec_of, fused_params
+    from kanodes_tpu.ops.rk_fused import fused_rk_multistep, fused_rk_step
+
+    chain = Chain(KDense(2, 4, 5), KDense(4, 2, 5))
+    spec = chain_spec_of(chain)
+    params = chain.init(jax.random.PRNGKey(0))
+    c1, w1, c2, w2 = fused_params(params)
+    x = jnp.ones((1, 2), jnp.float32)
+    with pytest.raises(ValueError, match="bwd_precision"):
+        fused_rk_step(spec, "rk4", 0.1, x, c1, w1, c2, w2,
+                      bwd_precision="bfloat16")
+    with pytest.raises(ValueError, match="bwd_precision"):
+        fused_rk_multistep(spec, "rk4", 0.1, 3, x, c1, w1, c2, w2,
+                           bwd_precision="f32")

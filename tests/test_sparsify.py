@@ -89,3 +89,16 @@ def test_pruned_chain_trains(chain, cparams, xs):
         u, s = opt.update(g, s, p)
         p = optax.apply_updates(p, u)
     assert float(loss(p)) < l0
+
+
+def test_grid_refine_rejects_trainable_grid():
+    import pytest
+
+    from kanodes_tpu.models import KANChain
+    from kanodes_tpu.sparsify.grid_refine import refine_kdense_chain_grid
+
+    chain = KANChain.mlp_like([2, 4, 2], grid_len=5, trainable_grid=True)
+    params = chain.init(jax.random.PRNGKey(0))
+    x = jnp.ones((8, 2), jnp.float32)
+    with pytest.raises(ValueError, match="trainable_grid"):
+        refine_kdense_chain_grid(chain, params, x)
