@@ -34,8 +34,12 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="python -m kanodes_tpu.deploy",
         description="Export a training checkpoint as a serving artifact.")
-    ap.add_argument("--checkpoint", required=True,
+    ap.add_argument("--checkpoint", default=None,
                     help="Checkpointer directory")
+    ap.add_argument("--npy", default=None,
+                    help="alternative to --checkpoint: a pickled-pytree "
+                         "params .npy (the experiment scripts' "
+                         "*_params.npy artifacts); requires --spec")
     ap.add_argument("--step", type=int, default=None,
                     help="checkpoint step (default: latest)")
     ap.add_argument("--params", choices=("best", "last"), default="best",
@@ -74,7 +78,22 @@ def main(argv=None) -> int:
     from kanodes_tpu.deploy.spec import model_from_spec
     from kanodes_tpu.train.checkpoint import Checkpointer
 
-    state = Checkpointer(args.checkpoint).restore(args.step)
+    if (args.checkpoint is None) == (args.npy is None):
+        print("error: pass exactly one of --checkpoint / --npy",
+              file=sys.stderr)
+        return 2
+    if args.npy is not None:
+        if args.spec is None:
+            print("error: --npy needs --spec (a bare params file has "
+                  "no stored model spec)", file=sys.stderr)
+            return 2
+        import numpy as np
+        tree = np.load(args.npy, allow_pickle=True)
+        if getattr(tree, "shape", None) == ():
+            tree = tree.item()
+        state = {"params": tree, "step": 0}
+    else:
+        state = Checkpointer(args.checkpoint).restore(args.step)
     if args.spec is not None:
         spec = json.loads(args.spec)
     else:

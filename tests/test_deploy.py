@@ -276,3 +276,38 @@ def test_spec_rejects_heterogeneous_and_callable():
     cal = KANChain(KDense(2, 2, 5, basis=lambda x, g, h: x[..., None] - g))
     with pytest.raises(TypeError, match="callable basis"):
         spec_of(cal)
+
+
+def test_cli_npy_params_path(tmp_path):
+    """--npy + --spec serves the experiment scripts' raw params
+    artifacts (no Checkpointer directory needed)."""
+    import json as _json
+
+    from kanodes_tpu.deploy.__main__ import main as deploy_main
+    from kanodes_tpu.models import KANChain
+
+    model = KANChain.mlp_like([3, 4, 3], grid_len=5,
+                              normalizer="softsign")
+    params = model.init(jax.random.PRNGKey(7))
+    npy = str(tmp_path / "p.npy")
+    arr = np.empty((), dtype=object)
+    arr[()] = jax.device_get(params)
+    np.save(npy, arr, allow_pickle=True)
+
+    spec = _json.dumps({"kind": "kan", "widths": [3, 4, 3],
+                        "grid_len": 5, "normalizer": "softsign"})
+    out = str(tmp_path / "m.kexp")
+    rc = deploy_main(["--npy", npy, "--spec", spec, "--kind", "rhs",
+                      "--batch", "any", "--platforms", "cpu",
+                      "--out", out])
+    assert rc == 0
+    loaded = ServingArtifact.load(out)
+    x = jnp.asarray(np.random.default_rng(2).normal(0, 1, (5, 3)),
+                    jnp.float32)
+    np.testing.assert_allclose(np.asarray(loaded(x)),
+                               np.asarray(model.apply(params, x)),
+                               rtol=1e-6, atol=1e-7)
+    # exactly one of --checkpoint / --npy
+    assert deploy_main(["--npy", npy, "--checkpoint", "x",
+                        "--out", out]) == 2
+    assert deploy_main(["--npy", npy, "--out", out]) == 2
