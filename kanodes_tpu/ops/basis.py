@@ -68,10 +68,29 @@ def iqf(x: Array, grid: Array, h) -> Array:
     return 1.0 / (1.0 + y * y)
 
 
+def cheby(x: Array, grid: Array, h) -> Array:
+    """Chebyshev polynomial basis T_0..T_{G-1} (beyond parity: the
+    fKAN / AC-PKAN-style polynomial-basis KAN variant; see PAPERS.md).
+
+    Global polynomials instead of local radial bumps: the layer's tanh
+    normalizer already maps inputs into Chebyshev's natural [-1, 1]
+    domain, so `grid` only sets G and `h` is unused. The recurrence
+    unrolls at trace time (G is static and small), leaving a fused
+    elementwise chain for XLA.
+    """
+    G = grid.shape[-1]
+    z = jnp.clip(x, -1.0, 1.0)
+    ts = [jnp.ones_like(z), z]
+    for _ in range(2, G):
+        ts.append(2.0 * z * ts[-1] - ts[-2])
+    return jnp.stack(ts[:G], axis=-1)
+
+
 BASIS_FUNCS: dict[str, Callable[..., Array]] = {
     "rbf": rbf,
     "rswaf": rswaf,
     "iqf": iqf,
+    "cheby": cheby,
 }
 
 
@@ -108,7 +127,23 @@ def iqf_dx(x: Array, grid: Array, h) -> Array:
     return -2.0 * y / (d * d) / h
 
 
-BASIS_DX = {"rbf": rbf_dx, "rswaf": rswaf_dx, "iqf": iqf_dx}
+def cheby_dx(x: Array, grid: Array, h) -> Array:
+    """dT_k/dx = k * U_{k-1}(x); zero outside the clipped domain
+    (matches autodiff through jnp.clip)."""
+    G = grid.shape[-1]
+    z = jnp.clip(x, -1.0, 1.0)
+    inside = ((x >= -1.0) & (x <= 1.0)).astype(z.dtype)
+    us = [jnp.ones_like(z), 2.0 * z]
+    for _ in range(2, G - 1):
+        us.append(2.0 * z * us[-1] - us[-2])
+    ds = [jnp.zeros_like(z)]
+    for k in range(1, G):
+        ds.append(k * us[k - 1] * inside)
+    return jnp.stack(ds[:G], axis=-1)
+
+
+BASIS_DX = {"rbf": rbf_dx, "rswaf": rswaf_dx, "iqf": iqf_dx,
+            "cheby": cheby_dx}
 
 
 # ---------------------------------------------------------------------------

@@ -82,3 +82,63 @@ def test_bspline_grad_flows():
 
     g = jax.grad(f)(jnp.asarray([0.21]))
     assert jnp.all(jnp.isfinite(g))
+
+
+class TestChebyBasis:
+    def test_matches_numpy_chebyshev(self):
+        from kanodes_tpu.ops.basis import cheby, make_grid
+
+        for G in (1, 2, 3, 5, 10):
+            grid = make_grid(G)
+            x = jnp.asarray(np.linspace(-1, 1, 23), jnp.float32)
+            got = np.asarray(cheby(x, grid, 0.5))       # [23, G]
+            for k in range(G):
+                coef = np.zeros(G)
+                coef[k] = 1.0
+                want = np.polynomial.chebyshev.chebval(np.asarray(x), coef)
+                np.testing.assert_allclose(got[:, k], want,
+                                           rtol=2e-5, atol=2e-5)
+
+    def test_dx_matches_autodiff(self):
+        from kanodes_tpu.ops.basis import cheby, cheby_dx, make_grid
+
+        G = 6
+        grid = make_grid(G)
+        xs = jnp.asarray(np.linspace(-0.98, 0.98, 17), jnp.float32)
+        want = jax.vmap(jax.jacfwd(lambda v: cheby(v, grid, 0.5)))(xs)
+        got = cheby_dx(xs, grid, 0.5)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
+        # outside the domain the derivative is zero (clip semantics)
+        far = jnp.asarray([1.5, -2.0], jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(cheby_dx(far, grid, 0.5)[..., 1:]), 0.0)
+
+    def test_kdense_cheby_trains(self):
+        """KDense(basis='cheby') fits a smooth 1-D target (the
+        polynomial-basis KAN variant is a drop-in on the XLA path)."""
+        import optax
+
+        from kanodes_tpu.models import KANChain
+
+        chain = KANChain.mlp_like([1, 4, 1], grid_len=6, basis="cheby")
+        params = chain.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(np.linspace(-2, 2, 64)[:, None], jnp.float32)
+        y = jnp.sin(1.7 * x)
+
+        def loss(p):
+            return jnp.mean((chain.apply(p, x) - y) ** 2)
+
+        opt = optax.adam(2e-2)
+        s = opt.init(params)
+        l0 = float(loss(params))
+
+        @jax.jit
+        def step(p, s):
+            g = jax.grad(loss)(p)
+            u, s = opt.update(g, s, p)
+            return optax.apply_updates(p, u), s
+
+        for _ in range(300):
+            params, s = step(params, s)
+        assert float(loss(params)) < l0 * 1e-2
