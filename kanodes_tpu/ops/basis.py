@@ -86,11 +86,34 @@ def cheby(x: Array, grid: Array, h) -> Array:
     return jnp.stack(ts[:G], axis=-1)
 
 
+def fourier(x: Array, grid: Array, h) -> Array:
+    """Truncated Fourier basis 1, sin(pi x), cos(pi x), sin(2 pi x), ...
+    (beyond parity: the FourierKAN-style variant; see PAPERS.md).
+
+    Global periodic features instead of local radial bumps. The layer's
+    tanh normalizer maps inputs into (-1, 1), one fundamental period of
+    omega = pi, so like `cheby` the `grid` only sets G and `h` is
+    unused. G features = DC + ceil((G-1)/2) sin/cos pairs; the loop
+    unrolls at trace time (G static, small) into one fused elementwise
+    chain. Periodic, bounded, and C^inf everywhere — no domain clip.
+    """
+    G = grid.shape[-1]
+    feats = [jnp.ones_like(x)]
+    k = 1
+    while len(feats) < G:
+        feats.append(jnp.sin(k * jnp.pi * x))
+        if len(feats) < G:
+            feats.append(jnp.cos(k * jnp.pi * x))
+        k += 1
+    return jnp.stack(feats[:G], axis=-1)
+
+
 BASIS_FUNCS: dict[str, Callable[..., Array]] = {
     "rbf": rbf,
     "rswaf": rswaf,
     "iqf": iqf,
     "cheby": cheby,
+    "fourier": fourier,
 }
 
 
@@ -142,8 +165,21 @@ def cheby_dx(x: Array, grid: Array, h) -> Array:
     return jnp.stack(ds[:G], axis=-1)
 
 
+def fourier_dx(x: Array, grid: Array, h) -> Array:
+    """d/dx of `fourier`: 0, pi cos(pi x), -pi sin(pi x), ..."""
+    G = grid.shape[-1]
+    ds = [jnp.zeros_like(x)]
+    k = 1
+    while len(ds) < G:
+        ds.append(k * jnp.pi * jnp.cos(k * jnp.pi * x))
+        if len(ds) < G:
+            ds.append(-k * jnp.pi * jnp.sin(k * jnp.pi * x))
+        k += 1
+    return jnp.stack(ds[:G], axis=-1)
+
+
 BASIS_DX = {"rbf": rbf_dx, "rswaf": rswaf_dx, "iqf": iqf_dx,
-            "cheby": cheby_dx}
+            "cheby": cheby_dx, "fourier": fourier_dx}
 
 
 # ---------------------------------------------------------------------------

@@ -84,6 +84,45 @@ def test_bspline_grad_flows():
     assert jnp.all(jnp.isfinite(g))
 
 
+class TestFourierBasis:
+    def test_matches_numpy(self):
+        from kanodes_tpu.ops.basis import fourier, make_grid
+
+        x = np.linspace(-1, 1, 23).astype(np.float32)
+        for G in (1, 2, 3, 4, 7, 10):
+            got = np.asarray(fourier(jnp.asarray(x), make_grid(G), 0.5))
+            assert got.shape == (23, G)
+            want_cols = [np.ones_like(x)]
+            k = 1
+            while len(want_cols) < G:
+                want_cols.append(np.sin(k * np.pi * x))
+                if len(want_cols) < G:
+                    want_cols.append(np.cos(k * np.pi * x))
+                k += 1
+            np.testing.assert_allclose(got, np.stack(want_cols, -1),
+                                       rtol=2e-5, atol=2e-5)
+
+    def test_periodicity(self):
+        from kanodes_tpu.ops.basis import fourier, make_grid
+
+        grid = make_grid(7)
+        x = jnp.asarray(np.linspace(-1, 1, 11), jnp.float32)
+        a = np.asarray(fourier(x, grid, 0.5))
+        b = np.asarray(fourier(x + 2.0, grid, 0.5))
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+    def test_dx_matches_autodiff(self):
+        from kanodes_tpu.ops.basis import fourier, fourier_dx, make_grid
+
+        G = 8
+        grid = make_grid(G)
+        xs = jnp.asarray(np.linspace(-0.98, 0.98, 17), jnp.float32)
+        want = jax.vmap(jax.jacfwd(lambda v: fourier(v, grid, 0.5)))(xs)
+        got = fourier_dx(xs, grid, 0.5)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+
 class TestChebyBasis:
     def test_matches_numpy_chebyshev(self):
         from kanodes_tpu.ops.basis import cheby, make_grid
@@ -113,6 +152,35 @@ class TestChebyBasis:
         far = jnp.asarray([1.5, -2.0], jnp.float32)
         np.testing.assert_array_equal(
             np.asarray(cheby_dx(far, grid, 0.5)[..., 1:]), 0.0)
+
+    def test_kdense_fourier_trains(self):
+        """KDense(basis='fourier') fits a periodic 1-D target (the
+        FourierKAN-style variant is a drop-in on the XLA path)."""
+        import optax
+
+        from kanodes_tpu.models import KANChain
+
+        chain = KANChain.mlp_like([1, 4, 1], grid_len=7, basis="fourier")
+        params = chain.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(np.linspace(-2, 2, 64)[:, None], jnp.float32)
+        y = jnp.sin(1.7 * x)
+
+        def loss(p):
+            return jnp.mean((chain.apply(p, x) - y) ** 2)
+
+        opt = optax.adam(2e-2)
+        s = opt.init(params)
+        l0 = float(loss(params))
+
+        @jax.jit
+        def step(p, s):
+            g = jax.grad(loss)(p)
+            u, s = opt.update(g, s, p)
+            return optax.apply_updates(p, u), s
+
+        for _ in range(300):
+            params, s = step(params, s)
+        assert float(loss(params)) < l0 * 1e-2
 
     def test_kdense_cheby_trains(self):
         """KDense(basis='cheby') fits a smooth 1-D target (the
