@@ -30,7 +30,14 @@ REFERENCE_LOSS = 8.3e-7     # trend_plotter.py: 240 params -> 8.3e-7
 TARGET_SECONDS = 60.0
 
 
-def main() -> None:
+def build() -> dict:
+    """Construct the bench's jitted programs + init states (shared with
+    `scripts/prewarm_aot.py`, which AOT-compiles them without running).
+
+    Each callable is routed through the cross-process AOT executable
+    cache (`train.loop._aot_compile`): a fresh process with a warm
+    cache skips the Mosaic remote kernel compiles (~40-70 s per
+    program on this machine) and goes straight to the timed runs."""
     import optax
     from jax import lax
 
@@ -106,11 +113,38 @@ def main() -> None:
         return lax.while_loop(cond, body,
                               (i0, params, opt_state, cur0))
 
-    # compile (excluded from the timing; persistent-cached across runs)
+    def _aot(jitted, *args):
+        try:
+            from kanodes_tpu.train.loop import _aot_compile
+            exe = _aot_compile(jitted, *args)
+            return exe if exe is not None else jitted
+        except Exception:  # noqa: BLE001 — AOT is best-effort
+            return jitted
+
+    s1_0, s4_0 = opt_s1.init(params0), opt_s4.init(params0)
+    return {
+        "params0": params0,
+        "s1_0": s1_0,
+        "s4_0": s4_0,
+        "train_a": _aot(train_a_to_target, params0, s1_0),
+        "train_b": _aot(train_to_target, params0, s4_0, jnp.asarray(1.0)),
+        "traj_loss": _aot(traj_loss, params0),
+        "opt_s1": opt_s1,
+        "opt_s4": opt_s4,
+    }
+
+
+def main() -> None:
+    b = build()
+    params0 = b["params0"]
+    train_a_to_target, train_to_target = b["train_a"], b["train_b"]
+    traj_loss, opt_s1, opt_s4 = b["traj_loss"], b["opt_s1"], b["opt_s4"]
+
+    # compile/load (excluded from the timing; AOT- and persistent-cached)
     p = params0
-    jax.block_until_ready(train_a_to_target(p, opt_s1.init(p))[3])
+    jax.block_until_ready(train_a_to_target(p, b["s1_0"])[3])
     jax.block_until_ready(
-        train_to_target(p, opt_s4.init(p), jnp.asarray(1.0))[3])
+        train_to_target(p, b["s4_0"], jnp.asarray(1.0))[3])
     jax.block_until_ready(traj_loss(p))
 
     def measure():

@@ -147,7 +147,8 @@ def train(loss_fn: Callable[[Any], Array],
           track_best: bool = True,
           record_history: bool = False,
           on_chunk: Callable[[int, dict], None] | None = None,
-          opt_state=None):
+          opt_state=None,
+          compile_only: bool = False):
     """Run `cfg.iters` optimization steps fully on device.
 
     Args:
@@ -168,6 +169,15 @@ def train(loss_fn: Callable[[Any], Array],
         execution with the live params/opt_state/histories — the hook
         for mid-run checkpointing of long runs.
       opt_state: resume an existing optimizer state (restart flows).
+      compile_only: build + AOT-compile the training chunk (populating
+        the cross-process executable cache, see `_aot_compile`) and
+        return WITHOUT executing a single optimization step. Histories
+        come back zero-filled at their real shapes; params/opt_state
+        are returned unchanged; `out["aot_compiled"]` reports whether a
+        serialized executable now exists. This is the prewarm hook
+        (`scripts/prewarm_aot.py`): one run per machine/JAX-version
+        spares every later fresh process the ~38-70 s Mosaic remote
+        compile per fused-kernel chunk.
 
     Returns dict with final/best params, per-iter train-loss history and
     per-eval metric history.
@@ -232,11 +242,37 @@ def train(loss_fn: Callable[[Any], Array],
             exe = aot["exe"]
             return exe(carry) if exe is not None else jitted(carry)
 
+        def _warm(carry):
+            if "exe" not in aot:
+                aot["exe"] = _aot_compile(jitted, carry)
+            return aot["exe"] is not None
+
+        run_chunk.warm = _warm
+
         if len(_RUN_CHUNK_CACHE) >= 16:      # bound closure retention
             _RUN_CHUNK_CACHE.pop(next(iter(_RUN_CHUNK_CACHE)))
         _RUN_CHUNK_CACHE[cache_key] = run_chunk
 
     carry = (params, opt_state, jnp.asarray(jnp.inf, jnp.float32), params)
+    if compile_only:
+        warm = getattr(run_chunk, "warm", None)
+        ok = bool(warm(carry)) if warm is not None else False
+        n_evals = n_calls * evals_per_call
+        out = {
+            "params": params,
+            "opt_state": opt_state,
+            "best_params": params,
+            "best_loss": jnp.asarray(jnp.inf, jnp.float32),
+            "loss_history": jnp.zeros((n_calls * per_call,),
+                                      jnp.float32)[:cfg.iters],
+            "eval_history": jnp.zeros((n_evals,), jnp.float32),
+            "aot_compiled": ok,
+        }
+        if record_history:
+            out["param_history"] = jax.tree_util.tree_map(
+                lambda x: jnp.zeros((n_evals,) + jnp.shape(x),
+                                    jnp.asarray(x).dtype), params)
+        return out
     loss_chunks, metric_chunks, snap_chunks = [], [], []
     for i in range(n_calls):
         carry, losses, metrics, snaps = run_chunk(carry)

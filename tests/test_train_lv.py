@@ -27,6 +27,32 @@ def test_train_loop_quadratic_converges():
     assert float(out["best_loss"]) <= float(out["loss_history"][0])
 
 
+def test_train_compile_only_executes_nothing():
+    """compile_only (the scripts/prewarm_aot.py hook) must return real
+    shapes and untouched params without running a single step."""
+    calls = []
+
+    def loss(p):
+        calls.append(1)  # trace-time only; execution would not append
+        return jnp.sum((p - 3.0) ** 2)
+
+    p0 = jnp.asarray([1.0, 2.0])
+    out = train(loss, p0, TrainConfig(lr=0.1, iters=200, eval_every=50),
+                eval_fn=loss, compile_only=True)
+    np.testing.assert_array_equal(out["params"], p0)
+    np.testing.assert_array_equal(out["best_params"], p0)
+    assert out["loss_history"].shape == (200,)
+    assert float(jnp.abs(out["loss_history"]).max()) == 0.0
+    assert out["eval_history"].shape == (4,)
+    assert "aot_compiled" in out   # False on CPU (AOT disabled there)
+    assert not out["aot_compiled"]
+
+    # the real run through the SAME memoized chunk still works
+    out2 = train(loss, p0, TrainConfig(lr=0.1, iters=200, eval_every=50),
+                 eval_fn=loss)
+    assert float(out2["loss_history"][-1]) < float(out2["loss_history"][0])
+
+
 def test_train_loop_host_chunking_equivalence():
     """Chunked device calls must match a single-call run exactly."""
     def loss(p):
