@@ -121,6 +121,13 @@ def run_pipeline(cfg: SymbolicPipelineConfig | None = None,
         global_eqs.append(fit)
         global_pretty.append(simplify_expression(fit.expression))
 
+    # -- 3c. SINDy fast pass on the same samples --------------------------
+    # closed-form STLSQ counterpart of the GP fits above (milliseconds;
+    # exact least-squares coefficients for the polynomial-law class)
+    from kanodes_tpu.symbolic.sindy import fit_sindy
+
+    sindy_fits = fit_sindy(samples, rhs_vals, degree=3, threshold="auto")
+
     # -- 4. re-simulate the symbolic ODE ----------------------------------
     from kanodes_tpu.symbolic.fit import resimulate_symbolic_rhs
 
@@ -128,6 +135,9 @@ def run_pipeline(cfg: SymbolicPipelineConfig | None = None,
     sym_traj = resimulate_symbolic_rhs([f.expression for f in global_eqs],
                                        np.asarray(data["X"][0]), ts, 2)
     sym_mse = float(jnp.mean((sym_traj - data["X"]) ** 2))
+    sindy_traj = resimulate_symbolic_rhs(
+        [f.expression for f in sindy_fits], np.asarray(data["X"][0]), ts, 2)
+    sindy_mse = float(jnp.mean((sindy_traj - data["X"]) ** 2))
 
     return {
         "model": model_p, "params": params_p,
@@ -137,6 +147,9 @@ def run_pipeline(cfg: SymbolicPipelineConfig | None = None,
         "global_equations": global_pretty,
         "global_fits": global_eqs,
         "symbolic_resim_mse": sym_mse,
+        "sindy_equations": [f.expression for f in sindy_fits],
+        "sindy_fits": sindy_fits,
+        "sindy_resim_mse": sindy_mse,
         "data": data,
     }
 
@@ -149,8 +162,11 @@ if __name__ == "__main__":
     print(f"pruned width: {out['kept_nodes'].size}, "
           f"train {out['pruned_train_loss']:.3e} "
           f"test {out['pruned_test_loss']:.3e}")
-    print("recovered ODE:")
+    print("recovered ODE (GP):")
     print("  dx/dt =", out["global_equations"][0])
     print("  dy/dt =", out["global_equations"][1])
-    print(f"symbolic re-simulation MSE vs data: "
-          f"{out['symbolic_resim_mse']:.3e}  ({time.time() - t0:.0f}s)")
+    print("recovered ODE (SINDy):")
+    print("  dx/dt =", out["sindy_equations"][0])
+    print("  dy/dt =", out["sindy_equations"][1])
+    print(f"re-simulation MSE vs data: GP {out['symbolic_resim_mse']:.3e} "
+          f"SINDy {out['sindy_resim_mse']:.3e}  ({time.time() - t0:.0f}s)")

@@ -166,10 +166,13 @@ def run(cfg: SourceConfig | None = None, params=None) -> dict[str, Any]:
 
 def recover_source(out: dict, generations: int = 250,
                    seed: int = 0,
-                   ops: tuple = ("+", "-", "*")) -> dict:
+                   ops: tuple = ("+", "-", "*"),
+                   method: str = "gp") -> dict:
     """SR post-pass on the trained 1->1 KAN over the state range — the
     reference's SRRegressor step (`Fisher-KPP_Source.jl:216-234`,
-    recovered 0.9953*x*(1.0024-x))."""
+    recovered 0.9953*x*(1.0024-x)). method="sindy" swaps the GP search
+    for the closed-form STLSQ engine (`symbolic/sindy.py`) — exact
+    least-squares coefficients in milliseconds for polynomial laws."""
     from kanodes_tpu.symbolic.fit import fit_scalar_function, \
         simplify_expression
 
@@ -180,6 +183,13 @@ def recover_source(out: dict, generations: int = 250,
     def learned(u):
         u = jnp.asarray(u, jnp.float32)
         return np.asarray(model.apply(params, u[:, None])[:, 0])
+
+    if method == "sindy":
+        from kanodes_tpu.symbolic.sindy import fit_sindy
+        u = np.linspace(lo, hi, 400)[:, None]
+        fit = fit_sindy(u, learned(u[:, 0]), degree=4, threshold="auto")[0]
+        return {"fit": fit, "pretty": simplify_expression(fit.expression),
+                "range": (lo, hi)}
 
     # polynomial-only ops by default: the reference's source laws are
     # polynomial and '/' invites rational overfits of KAN approx error
