@@ -34,6 +34,12 @@ Array = jax.Array
 @dataclasses.dataclass(frozen=True)
 class SourceConfig:
     problem: str = "fisher_kpp"        # fisher_kpp | allen_cahn
+    # beyond parity: 2-D Fisher-KPP on a periodic [0,1]^2 grid (the
+    # reference is 1-D only; the gray-box structure is dimension-
+    # agnostic). ndim=2 uses the roll-based 2-D Laplacian (XLA path) and
+    # `sp>1` shards the field's row axis with ghost-ROW halo exchange.
+    ndim: int = 1
+    grid_n: int | None = None          # 2-D grid points per side
     kan_grid: int = 10                 # KANgrid=10 (:82-86)
     normalizer: str = "softsign"       # (:81)
     lr: float = 1e-2                   # Adam 1e-2 (:167-170)
@@ -59,6 +65,10 @@ class SourceConfig:
     def resolved_substeps(self) -> int:
         if self.substeps is not None:
             return self.substeps
+        if self.ndim == 2:
+            # stability: lambda = 8*D/dx^2 (5-point stencil) = 81.9 at
+            # n=32; tsit5 real-axis bound ~3.3 -> dt <= 0.04 -> 16/0.5
+            return 16
         # fkpp saves every dt=0.5 with diffusion lambda ~25 -> h=0.0625;
         # AC saves every dt=0.01 with lambda ~15 -> one step is plenty
         return 8 if self.problem == "fisher_kpp" else 2
@@ -66,6 +76,8 @@ class SourceConfig:
     def resolved_chunk(self) -> int:
         if self.max_iters_per_call is not None:
             return self.max_iters_per_call
+        if self.ndim == 2:
+            return 2_000
         # keep one device execution under ~2 min (tunnel watchdog):
         # AC integrates 101 save points/loss vs fkpp's 11
         return 10_000 if self.problem == "fisher_kpp" else 1_000
@@ -73,10 +85,16 @@ class SourceConfig:
 
 def make_data(cfg: SourceConfig) -> datagen.PDEData:
     kw = {}
-    if cfg.data_dx is not None:
-        kw["dx"] = cfg.data_dx
     if cfg.data_substeps is not None:
         kw["substeps"] = cfg.data_substeps
+    if cfg.ndim == 2:
+        if cfg.problem != "fisher_kpp":
+            raise ValueError("ndim=2 supports problem='fisher_kpp'")
+        if cfg.grid_n is not None:
+            kw["n"] = cfg.grid_n
+        return datagen.fisher_kpp_2d(**kw)
+    if cfg.data_dx is not None:
+        kw["dx"] = cfg.data_dx
     if cfg.problem == "fisher_kpp":
         return datagen.fisher_kpp(**kw)
     if cfg.problem == "allen_cahn":
@@ -95,6 +113,8 @@ def make_model(cfg: SourceConfig) -> KDense:
 
 
 def make_fns(cfg: SourceConfig, model: KDense, data: datagen.PDEData):
+    if cfg.ndim == 2:
+        return _make_fns_2d(cfg, model, data)
     lap = jnp.asarray(datagen._cyclic_lap(len(data.x), data.dx), jnp.float32)
     D = data.meta["D"] if cfg.problem == "fisher_kpp" else data.meta["D"]
     X = jnp.asarray(data.X, jnp.float32)
@@ -143,6 +163,56 @@ def make_fns(cfg: SourceConfig, model: KDense, data: datagen.PDEData):
         def predict(params):
             return odeint_fixed(rhs, u0, ts, params, solver="tsit5",
                                 substeps=cfg.resolved_substeps())
+
+    def loss_fn(params):
+        return jnp.mean((predict(params) - X) ** 2)
+
+    return loss_fn, loss_fn, predict
+
+
+def _make_fns_2d(cfg: SourceConfig, model: KDense, data: datagen.PDEData):
+    """2-D gray-box objective: du/dt = D*lap2d(u) + kan.(u), u [n, n].
+
+    Beyond parity (the reference source experiments are 1-D). XLA path:
+    the pointwise KAN is ONE [n*n, 1] basis-expansion GEMM per stage and
+    the 5-point stencil fuses into it; with `sp>1` the row axis shards
+    over the mesh via ghost-row halo exchange
+    (`pde/sharded.sharded_graybox_rhs_2d`)."""
+    from kanodes_tpu.pde.operators import laplacian_periodic_2d
+
+    if cfg.impl == "fused":
+        raise ValueError("ndim=2 uses the XLA path (impl='xla')")
+    D = float(data.meta["D"])
+    dx = float(data.dx)
+    X = jnp.asarray(data.X, jnp.float32)
+    ts = jnp.asarray(data.ts, jnp.float32)
+    u0 = X[0]
+    n = u0.shape[0]
+
+    if cfg.sp > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from kanodes_tpu.pde.sharded import sharded_graybox_rhs_2d
+        if n % cfg.sp:
+            raise ValueError(f"rows {n} not divisible by sp={cfg.sp}")
+        devs = jax.devices()
+        if len(devs) < cfg.sp:
+            raise ValueError(f"sp={cfg.sp} needs {cfg.sp} devices, "
+                             f"{len(devs)} visible")
+        mesh = Mesh(np.asarray(devs[:cfg.sp]), ("sp",))
+        rhs = sharded_graybox_rhs_2d(mesh, dx, D, model, axis="sp")
+        u0_run = jax.device_put(u0, NamedSharding(mesh, P("sp", None)))
+    else:
+        u0_run = u0
+
+        def rhs(t, u, params):
+            known = D * laplacian_periodic_2d(u, dx)
+            learned = model.apply(params, u.reshape(-1, 1)).reshape(u.shape)
+            return known + learned
+
+    def predict(params):
+        return odeint_fixed(rhs, u0_run, ts, params, solver="tsit5",
+                            substeps=cfg.resolved_substeps())
 
     def loss_fn(params):
         return jnp.mean((predict(params) - X) ** 2)

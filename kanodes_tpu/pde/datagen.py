@@ -62,6 +62,36 @@ def fisher_kpp(D: float = 0.01, r: float = 1.0, X: float = 1.0,
     return PDEData(x, ts, Xs, dx, dict(D=D, r=r, kind="fisher_kpp"))
 
 
+def _lap2d_periodic_np(u: np.ndarray, dx: float) -> np.ndarray:
+    return (np.roll(u, 1, 0) + np.roll(u, -1, 0)
+            + np.roll(u, 1, 1) + np.roll(u, -1, 1) - 4.0 * u) / dx ** 2
+
+
+def fisher_kpp_2d(D: float = 0.01, r: float = 1.0, T: float = 5.0,
+                  n: int = 32, n_save: int = 11,
+                  substeps: int = 100) -> PDEData:
+    """2-D Fisher-KPP with hidden reaction ru(1-u) on a periodic [0,1]^2
+    grid — beyond parity (the reference is 1-D only,
+    `Fisher-KPP_Source.jl:33-70`): the gray-box structure (known
+    diffusion + pointwise 1->1 KAN) is dimension-agnostic, so this is
+    the natural scaling axis. Initial condition: the tensor product of
+    the reference's 1-D double-tanh pulse. X comes back as
+    [Nt, n, n] float64 host-RK4 truth."""
+    dx = 1.0 / n
+    x = np.arange(n) * dx
+    amp, delta = 1.0, 0.2
+    p = amp * (np.tanh((x - (0.5 - delta / 2)) / (delta / 10))
+               - np.tanh((x - (0.5 + delta / 2)) / (delta / 10))) / 2
+    rho0 = np.outer(p, p)
+    ts = np.linspace(0.0, T, n_save)
+
+    def f(t, u):
+        return D * _lap2d_periodic_np(u, dx) + r * u * (1 - u)
+
+    Xs = rk4_dense(f, rho0, ts, substeps=substeps)
+    return PDEData(x, ts, Xs, dx, dict(D=D, r=r, kind="fisher_kpp_2d"))
+
+
 def allen_cahn_source(D: float = 1e-4, T: float = 1.0, dx: float = 0.05,
                       dt: float = 0.01, substeps: int = 20) -> PDEData:
     """Allen-Cahn with hidden reaction 5u - 5u^3 (Allen-Cahn_Source.jl:38-66).

@@ -28,6 +28,13 @@ def laplacian_periodic(u: Array, dx: float) -> Array:
         / (dx * dx)
 
 
+def laplacian_periodic_2d(u: Array, dx: float) -> Array:
+    """5-point periodic Laplacian over the last TWO axes (square dx)."""
+    return (jnp.roll(u, -1, axis=-1) + jnp.roll(u, 1, axis=-1)
+            + jnp.roll(u, -1, axis=-2) + jnp.roll(u, 1, axis=-2)
+            - 4.0 * u) / (dx * dx)
+
+
 def laplacian_dirichlet(u: Array, dx: float, left: float = 0.0,
                         right: float = 0.0) -> Array:
     """Centered Laplacian with Dirichlet ghost values (last axis)."""

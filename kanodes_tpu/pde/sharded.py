@@ -74,6 +74,37 @@ def sharded_graybox_rhs(mesh: Mesh, dx: float, diffusivity: float,
     return rhs
 
 
+def sharded_graybox_rhs_2d(mesh: Mesh, dx: float, diffusivity: float,
+                           model, axis: str = "sp"):
+    """2-D gray-box RHS D*lap2d(u) + kan.(u) with the field's ROW axis
+    sharded along `axis` (u: [Ny, Nx], periodic both directions).
+
+    The x-direction stencil is fully local (rolls along the unsharded
+    axis); the y-direction stencil needs one ghost ROW from each ring
+    neighbor — `halo_exchange` already moves whole rows because it
+    slices the leading axis. Per RK stage the wire cost is 2 rows of
+    Nx floats, independent of Ny. The pointwise KAN stays local.
+    """
+
+    def local(u_local: Array, params) -> Array:
+        lg, rg = halo_exchange(u_local, axis)            # [1, Nx] rows
+        up = jnp.concatenate([lg, u_local, rg], axis=0)
+        lap_y = (up[2:] - 2.0 * up[1:-1] + up[:-2]) / (dx * dx)
+        lap_x = (jnp.roll(u_local, -1, axis=1) - 2.0 * u_local
+                 + jnp.roll(u_local, 1, axis=1)) / (dx * dx)
+        learned = model.apply(params, u_local.reshape(-1, 1)
+                              ).reshape(u_local.shape)
+        return diffusivity * (lap_x + lap_y) + learned
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(axis, None), P()), out_specs=P(axis, None))
+
+    def rhs(t, u, params):
+        return fn(u, params)
+
+    return rhs
+
+
 # ---------------------------------------------------------------------------
 # tensor-parallel KAN chain over the grid axis (PDE-surrogate sharding)
 # ---------------------------------------------------------------------------

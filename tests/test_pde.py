@@ -287,3 +287,102 @@ def test_sharded_source_training_matches_single_device():
     np.testing.assert_allclose(np.asarray(outs["loss_history"]),
                                np.asarray(out0["loss_history"]),
                                rtol=1e-4, atol=1e-8)
+
+
+# -- 2-D gray-box (beyond parity) ---------------------------------------------
+
+def test_laplacian_periodic_2d_matches_numpy_and_reduces_to_1d():
+    from kanodes_tpu.pde.datagen import _lap2d_periodic_np
+    rng = np.random.default_rng(3)
+    u = rng.normal(size=(12, 12)).astype(np.float32)
+    dx = 1.0 / 12
+    np.testing.assert_allclose(ops.laplacian_periodic_2d(jnp.asarray(u), dx),
+                               _lap2d_periodic_np(u.astype(np.float64), dx),
+                               rtol=1e-4, atol=1e-3)
+    # a field constant along the row axis reduces to the 1-D stencil
+    row = rng.normal(size=16).astype(np.float32)
+    u2 = np.tile(row, (16, 1))
+    got = np.asarray(ops.laplacian_periodic_2d(jnp.asarray(u2), dx))
+    want = np.asarray(ops.laplacian_periodic(jnp.asarray(row), dx))
+    np.testing.assert_allclose(got, np.tile(want, (16, 1)),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_fisher_kpp_2d_truth_sane_and_consistent_with_1d():
+    from kanodes_tpu.pde import datagen
+    d = datagen.fisher_kpp_2d(n=16, n_save=5, substeps=60)
+    assert d.X.shape == (5, 16, 16)
+    assert np.isfinite(d.X).all()
+    assert d.X.min() > -1e-6 and d.X.max() < 1.2   # logistic saturation
+    # monotone growth toward the u=1 stable state (total mass increases)
+    mass = d.X.mean(axis=(1, 2))
+    assert (np.diff(mass) > 0).all()
+    # a y-constant initial condition must evolve exactly like 1-D
+    from kanodes_tpu.utils.host_rk import rk4_dense
+    n, dx = 16, 1.0 / 16
+    row = 0.3 + 0.2 * np.sin(2 * np.pi * np.arange(n) / n)
+    lap1 = datagen._cyclic_lap(n, dx)
+    ts = np.linspace(0.0, 1.0, 3)
+    D, r = 0.01, 1.0
+
+    def f2(t, u):
+        return D * datagen._lap2d_periodic_np(u, dx) + r * u * (1 - u)
+
+    def f1(t, u):
+        return D * (lap1 @ u) + r * u * (1 - u)
+
+    X2 = rk4_dense(f2, np.tile(row, (n, 1)), ts, substeps=60)
+    X1 = rk4_dense(f1, row, ts, substeps=60)
+    np.testing.assert_allclose(X2[-1], np.tile(X1[-1], (n, 1)),
+                               rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_graybox_2d_matches_local():
+    from kanodes_tpu.pde.operators import laplacian_periodic_2d
+    from kanodes_tpu.pde.sharded import sharded_graybox_rhs_2d
+    mesh = _mesh_sp()
+    n, dx, D = 16, 1.0 / 16, 0.01
+    model = KDense(1, 1, grid_len=5)
+    params = model.init(jax.random.PRNGKey(4))
+    rng = np.random.default_rng(5)
+    u0 = jnp.asarray(0.4 + 0.1 * rng.normal(size=(n, n)), jnp.float32)
+    rhs_sh = sharded_graybox_rhs_2d(mesh, dx, D, model)
+
+    def rhs_loc(t, u, p):
+        return D * laplacian_periodic_2d(u, dx) + \
+            model.apply(p, u.reshape(-1, 1)).reshape(u.shape)
+
+    with mesh:
+        got = rhs_sh(0.0, u0, params)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(rhs_loc(0.0, u0, params)),
+                               rtol=1e-5, atol=1e-5)
+    # gradients through a short solve agree
+    ts = jnp.asarray([0.0, 0.05])
+
+    def loss(rhs, p):
+        ys = odeint_fixed(rhs, u0, ts, p, solver="rk4")
+        return jnp.mean(ys[-1] ** 2)
+
+    with mesh:
+        l_sh, g_sh = jax.value_and_grad(lambda p: loss(rhs_sh, p))(params)
+    l_lo, g_lo = jax.value_and_grad(lambda p: loss(rhs_loc, p))(params)
+    np.testing.assert_allclose(float(l_sh), float(l_lo), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_sh),
+                    jax.tree_util.tree_leaves(g_lo)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_source_2d_training_matches_single_device():
+    """`SourceConfig(ndim=2, sp=...)`: ghost-ROW halo training reproduces
+    the single-device 2-D losses."""
+    from kanodes_tpu.experiments import pde_source as srcmod
+
+    kw = dict(problem="fisher_kpp", ndim=2, grid_n=16, iters=4,
+              eval_every=2, data_substeps=40, substeps=4)
+    out0 = srcmod.run(srcmod.SourceConfig(**kw))
+    outs = srcmod.run(srcmod.SourceConfig(**kw, sp=4))
+    np.testing.assert_allclose(np.asarray(outs["loss_history"]),
+                               np.asarray(out0["loss_history"]),
+                               rtol=1e-4, atol=1e-8)

@@ -60,6 +60,17 @@ class TestSourceExperiments:
         h = np.asarray(out["loss_history"])
         assert np.isfinite(h).all() and h[-1] < h[0]
 
+    def test_fkpp_2d_short_training_descends(self):
+        """Beyond parity: 2-D Fisher-KPP gray-box (pointwise KAN +
+        known 2-D diffusion) trains through the same driver."""
+        from kanodes_tpu.experiments.pde_source import SourceConfig, run
+        cfg = SourceConfig(problem="fisher_kpp", ndim=2, grid_n=16,
+                           iters=150, eval_every=150, data_substeps=60,
+                           substeps=8)
+        out = run(cfg)
+        h = np.asarray(out["loss_history"])
+        assert np.isfinite(h).all() and h[-1] < h[0]
+
     def test_recover_source_api(self):
         from kanodes_tpu.experiments.pde_source import (SourceConfig, run,
                                                         recover_source)
