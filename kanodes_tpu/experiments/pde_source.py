@@ -180,14 +180,37 @@ def _make_fns_2d(cfg: SourceConfig, model: KDense, data: datagen.PDEData):
     (`pde/sharded.sharded_graybox_rhs_2d`)."""
     from kanodes_tpu.pde.operators import laplacian_periodic_2d
 
-    if cfg.impl == "fused":
-        raise ValueError("ndim=2 uses the XLA path (impl='xla')")
     D = float(data.meta["D"])
     dx = float(data.dx)
     X = jnp.asarray(data.X, jnp.float32)
     ts = jnp.asarray(data.ts, jnp.float32)
     u0 = X[0]
     n = u0.shape[0]
+
+    if cfg.impl == "fused":
+        if cfg.sp > 1:
+            raise ValueError("sharded 2-D mode uses the XLA path "
+                             "(impl='xla'); fused kernels are per-device")
+        # the 2-D periodic Laplacian is the Kronecker sum L(+)L; the
+        # fused kernel applies it FACTORED as L@U + U@L (two [n, n] MXU
+        # dots per stage) — the flattened [n^2, n^2] dense form blows
+        # the 16 MB VMEM budget at n=32
+        from kanodes_tpu.ops.graybox_fused import \
+            graybox_kron_kernel_adapter
+        lap1 = datagen._cyclic_lap(n, dx)
+        _, _advance = graybox_kron_kernel_adapter(model, lap1, D,
+                                                  cfg.bwd_precision)
+        sub = cfg.resolved_substeps()
+        dt_save = float(data.ts[1] - data.ts[0])
+
+        def predict(params):
+            n_steps = (ts.shape[0] - 1) * sub
+            return _advance(params, u0, dt_save / sub, n_steps)[::sub]
+
+        def loss_fn(params):
+            return jnp.mean((predict(params) - X) ** 2)
+
+        return loss_fn, loss_fn, predict
 
     if cfg.sp > 1:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -91,17 +91,29 @@ def _phi_vjp(spec, u, c_ref, w, gy):
     return du, dc, dw
 
 
-def _rhs(spec, D, u, lap, c_ref, w):
-    return D * _dot(u, lap) + _phi(spec, u, c_ref, w)
+def _known(D, u, lap, kron):
+    """The known linear operator. kron=False: u [K, N] row states, one
+    [N, N] dense GEMV. kron=True: u is the 2-D field U [n, n] and lap
+    the 1-D [n, n] operator L; the Kronecker-sum Laplacian
+    (I (+) L) factors as L@U + U@L^T — two tiny MXU dots instead of an
+    n^2 x n^2 matrix that would blow the VMEM budget (L symmetric here,
+    so L^T = L). Self-adjoint in both modes, so the VJP reuses it."""
+    if kron:
+        return D * (_dot(lap, u) + _dot(u, lap))
+    return D * _dot(u, lap)
 
 
-def _rhs_vjp(spec, D, u, lap, c_ref, w, gy):
-    du_lin = D * _dot(gy, lap)       # lap symmetric
+def _rhs(spec, D, u, lap, c_ref, w, kron=False):
+    return _known(D, u, lap, kron) + _phi(spec, u, c_ref, w)
+
+
+def _rhs_vjp(spec, D, u, lap, c_ref, w, gy, kron=False):
+    du_lin = _known(D, gy, lap, kron)    # operator self-adjoint
     du_phi, dc, dw = _phi_vjp(spec, u, c_ref, w, gy)
     return du_lin + du_phi, dc, dw
 
 
-def _gb_fwd_kernel(spec, tab, dt, D, needed,
+def _gb_fwd_kernel(spec, tab, dt, D, needed, kron,
                    u_ref, lap_ref, c_ref, w_ref, y_ref):
     u = u_ref[:]
     lap = lap_ref[:]
@@ -114,7 +126,7 @@ def _gb_fwd_kernel(spec, tab, dt, D, needed,
         for j in range(i):
             if tab.a[i][j] != 0.0 and ks[j] is not None:
                 ui = ui + (dt * tab.a[i][j]) * ks[j]
-        ks[i] = _rhs(spec, D, ui, lap, c_ref, w)
+        ks[i] = _rhs(spec, D, ui, lap, c_ref, w, kron)
     y = u
     for i in range(tab.stages):
         if tab.b[i] != 0.0:
@@ -122,7 +134,7 @@ def _gb_fwd_kernel(spec, tab, dt, D, needed,
     y_ref[:] = y
 
 
-def _gb_bwd_kernel(spec, tab, dt, D, needed,
+def _gb_bwd_kernel(spec, tab, dt, D, needed, kron,
                    u_ref, lap_ref, c_ref, w_ref, gy_ref,
                    du_ref, dc_ref, dw_ref):
     u = u_ref[:]
@@ -140,7 +152,7 @@ def _gb_bwd_kernel(spec, tab, dt, D, needed,
             if tab.a[i][j] != 0.0 and ks[j] is not None:
                 ui = ui + (dt * tab.a[i][j]) * ks[j]
         us[i] = ui
-        ks[i] = _rhs(spec, D, ui, lap, c_ref, w)
+        ks[i] = _rhs(spec, D, ui, lap, c_ref, w, kron)
 
     ubar = gy
     kbar = [None] * tab.stages
@@ -152,7 +164,8 @@ def _gb_bwd_kernel(spec, tab, dt, D, needed,
     for i in range(tab.stages - 1, -1, -1):
         if not needed[i] or kbar[i] is None:
             continue
-        dui, dci, dwi = _rhs_vjp(spec, D, us[i], lap, c_ref, w, kbar[i])
+        dui, dci, dwi = _rhs_vjp(spec, D, us[i], lap, c_ref, w, kbar[i],
+                                 kron)
         ubar = ubar + dui
         dc = dc + dci
         dw = dw + dwi
@@ -166,15 +179,18 @@ def _gb_bwd_kernel(spec, tab, dt, D, needed,
     dw_ref[:] = dw.reshape(1, 1)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 8, 9))
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 8, 9, 10))
 def fused_graybox_rk_step(spec: GrayboxSpec, solver: str, dt: float,
                           D: float, u, lap, c, w,
                           interpret: bool | None = None,
-                          bwd_precision: str = "highest"):
+                          bwd_precision: str = "highest",
+                          kron: bool = False):
     """One whole RK step of du/dt = D*lap@u + phi(u) as ONE kernel.
 
     u: [K, N]; lap: [N, N] SYMMETRIC dense operator; c: [1, G] KAN
-    spline coefficients; w: [1, 1] residual weight. Differentiable
+    spline coefficients; w: [1, 1] residual weight. kron=True instead
+    takes the 2-D field u=[n, n] with lap=[n, n] the 1-D operator and
+    applies the Kronecker-sum Laplacian as L@U + U@L (see `_known`). Differentiable
     w.r.t. u, c, w (D and lap are known physics). bwd_precision:
     "highest" (exact-f32 backward dots) | "bf16" (1-pass MXU dots in
     the backward kernel only; forward stays exact f32).
@@ -184,26 +200,27 @@ def fused_graybox_rk_step(spec: GrayboxSpec, solver: str, dt: float,
     needed = tuple(_needed_stages(tab))
     itp = _interpret_default() if interpret is None else interpret
     return pl.pallas_call(
-        partial(_gb_fwd_kernel, spec, tab, dt, D, needed),
+        partial(_gb_fwd_kernel, spec, tab, dt, D, needed, kron),
         out_shape=jax.ShapeDtypeStruct(u.shape, jnp.float32),
         interpret=itp,
     )(u, lap, c, w)
 
 
-def _fgb_fwd(spec, solver, dt, D, u, lap, c, w, interpret, bwd_precision):
+def _fgb_fwd(spec, solver, dt, D, u, lap, c, w, interpret, bwd_precision,
+             kron):
     y = fused_graybox_rk_step(spec, solver, dt, D, u, lap, c, w, interpret,
-                              bwd_precision)
+                              bwd_precision, kron)
     return y, (u, lap, c, w)
 
 
-def _fgb_bwd(spec, solver, dt, D, interpret, bwd_precision, res, gy):
+def _fgb_bwd(spec, solver, dt, D, interpret, bwd_precision, kron, res, gy):
     u, lap, c, w = res
     tab = get_tableau(solver)
     needed = tuple(_needed_stages(tab))
     itp = _interpret_default() if interpret is None else interpret
     with _prec_ctx(_BWD_PRECS[bwd_precision]):
         du, dc, dw = pl.pallas_call(
-            partial(_gb_bwd_kernel, spec, tab, dt, D, needed),
+            partial(_gb_bwd_kernel, spec, tab, dt, D, needed, kron),
             out_shape=(
                 jax.ShapeDtypeStruct(u.shape, jnp.float32),
                 jax.ShapeDtypeStruct(c.shape, jnp.float32),
@@ -236,5 +253,30 @@ def graybox_kernel_adapter(layer, lap: Array, D: float,
 
         _, ys = jax.lax.scan(body, x, None, length=n_steps)
         return jnp.concatenate([x[None], ys], axis=0)[:, 0, :]
+
+    return spec, advance
+
+
+def graybox_kron_kernel_adapter(layer, lap1: Array, D: float,
+                                bwd_precision: str = "highest"):
+    """Build advance(params, U [n, n], dt, n_steps) -> [n_steps+1, n, n]
+    for the 2-D gray-box RHS D*lap2d(U) + phi.(U), with the Kronecker-sum
+    Laplacian factored inside the kernel as L@U + U@L (`_known`) —
+    VMEM-light (one [n, n] operator) where the flattened [n^2, n^2]
+    dense form blows the 16 MB scoped budget at n=32."""
+    spec = GrayboxSpec.of_layer(layer)
+    lap1 = jnp.asarray(lap1, jnp.float32)
+
+    def advance(params, U, dt, n_steps):
+        c = params["C"].reshape(1, spec.G)
+        w = params["W"].reshape(1, 1)
+
+        def body(carr, _):
+            y = fused_graybox_rk_step(spec, "tsit5", dt, D, carr, lap1,
+                                      c, w, None, bwd_precision, True)
+            return y, y
+
+        _, ys = jax.lax.scan(body, U, None, length=n_steps)
+        return jnp.concatenate([U[None], ys], axis=0)
 
     return spec, advance

@@ -3,7 +3,8 @@
 `Fisher-KPP_Source.jl:33-70,170`).
 
 Trains du/dt = D*lap2d(u) + kan.(u) on 11 snapshots of the 32x32
-periodic truth (1024 cells vs the reference's 26) for the reference's
+periodic truth (1024 cells vs the reference's 26) on the
+Kronecker-factored fused kernel (L@U + U@L per stage) for the reference's
 2e4 Adam(1e-2) budget plus a small-lr continuation (Adam wanders a
 converged minimum by ~lr; optimizer-state continuity per the project's
 phase recipe), then recovers the hidden reaction law with BOTH
@@ -36,7 +37,8 @@ PHASES = [(1e-2, 20_000),       # the reference budget
 
 
 def main():
-    cfg = SourceConfig(problem="fisher_kpp", ndim=2, eval_every=500)
+    cfg = SourceConfig(problem="fisher_kpp", ndim=2, eval_every=500,
+                       impl="fused")
     data = make_data(cfg)
     model = make_model(cfg)
     params = model.init(jax.random.PRNGKey(cfg.seed))

@@ -91,3 +91,30 @@ def test_bwd_precision_option_threads(setup):
 def test_rejects_non_pointwise_layer():
     with pytest.raises(ValueError):
         GrayboxSpec.of_layer(KDense(2, 1, 5))
+
+
+def test_fused_2d_driver_matches_xla_driver():
+    """SourceConfig(ndim=2, impl='fused'): the Kronecker-lap flattened
+    path reproduces the 2-D roll-stencil XLA losses and gradients."""
+    from kanodes_tpu.experiments.pde_source import (SourceConfig,
+                                                    make_data, make_fns,
+                                                    make_model)
+
+    kw = dict(problem="fisher_kpp", ndim=2, grid_n=8, data_substeps=40,
+              substeps=4)
+    cfg_x = SourceConfig(**kw)
+    cfg_f = SourceConfig(**kw, impl="fused")
+    data = make_data(cfg_x)
+    model = make_model(cfg_x)
+    params = model.init(jax.random.PRNGKey(1))
+    loss_x, _, pred_x = make_fns(cfg_x, model, data)
+    loss_f, _, pred_f = make_fns(cfg_f, model, data)
+    np.testing.assert_allclose(np.asarray(pred_f(params)),
+                               np.asarray(pred_x(params)),
+                               rtol=2e-4, atol=2e-5)
+    lx, gx = jax.value_and_grad(loss_x)(params)
+    lf, gf = jax.value_and_grad(loss_f)(params)
+    np.testing.assert_allclose(float(lf), float(lx), rtol=1e-4, atol=1e-9)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gx)):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-6)

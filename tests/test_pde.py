@@ -338,6 +338,7 @@ def test_fisher_kpp_2d_truth_sane_and_consistent_with_1d():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow
 def test_sharded_graybox_2d_matches_local():
     from kanodes_tpu.pde.operators import laplacian_periodic_2d
     from kanodes_tpu.pde.sharded import sharded_graybox_rhs_2d
