@@ -92,10 +92,17 @@ def source_units():
     from kanodes_tpu.experiments.pde_source import (SourceConfig, make_data,
                                                     make_fns, make_model)
 
-    # mirrors pde_source __main__: full reference budgets, fused kernel
-    for problem, iters in (("fisher_kpp", 20_000), ("allen_cahn", 50_000)):
-        cfg = SourceConfig(problem=problem, iters=iters,
-                           eval_every=5_000, impl="fused")
+    # mirrors pde_source __main__ (full reference budgets, fused kernel)
+    # + the 2-D Fisher-KPP config of scripts/fisher2d_full.py
+    units = [
+        SourceConfig(problem="fisher_kpp", iters=20_000,
+                     eval_every=5_000, impl="fused"),
+        SourceConfig(problem="allen_cahn", iters=50_000,
+                     eval_every=5_000, impl="fused"),
+        SourceConfig(problem="fisher_kpp", ndim=2, iters=20_000,
+                     eval_every=500, impl="fused"),
+    ]
+    for cfg in units:
         data = make_data(cfg)
         model = make_model(cfg)
         params = model.init(jax.random.PRNGKey(cfg.seed))
@@ -109,7 +116,8 @@ def source_units():
             out = train(loss_fn, params, tc, compile_only=True)
             return out["aot_compiled"]
 
-        _unit(f"source/{problem}", go)
+        tag = f"source/{cfg.problem}" + ("_2d" if cfg.ndim == 2 else "")
+        _unit(tag, go)
 
 
 def lv_units():
