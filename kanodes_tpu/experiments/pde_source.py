@@ -34,10 +34,12 @@ Array = jax.Array
 @dataclasses.dataclass(frozen=True)
 class SourceConfig:
     problem: str = "fisher_kpp"        # fisher_kpp | allen_cahn
-    # beyond parity: 2-D Fisher-KPP on a periodic [0,1]^2 grid (the
+    # beyond parity: 2-D problems on periodic square grids (the
     # reference is 1-D only; the gray-box structure is dimension-
-    # agnostic). ndim=2 uses the roll-based 2-D Laplacian (XLA path) and
-    # `sp>1` shards the field's row axis with ghost-ROW halo exchange.
+    # agnostic). ndim=2 supports both problems: XLA path = roll-based
+    # 2-D Laplacian; impl="fused" = Kronecker-FACTORED kernel
+    # (L@U + U@L per stage); `sp>1` shards the field's row axis with
+    # ghost-ROW halo exchange (XLA path).
     ndim: int = 1
     grid_n: int | None = None          # 2-D grid points per side
     kan_grid: int = 10                 # KANgrid=10 (:82-86)
@@ -66,9 +68,10 @@ class SourceConfig:
         if self.substeps is not None:
             return self.substeps
         if self.ndim == 2:
-            # stability: lambda = 8*D/dx^2 (5-point stencil) = 81.9 at
-            # n=32; tsit5 real-axis bound ~3.3 -> dt <= 0.04 -> 16/0.5
-            return 16
+            # fisher: lambda = 8*D/dx^2 (5-point stencil) = 81.9 at
+            # n=32; tsit5 real-axis bound ~3.3 -> dt <= 0.04 -> 16/0.5.
+            # AC: tiny diffusion + dt=0.01 saves -> 1-D default carries
+            return 16 if self.problem == "fisher_kpp" else 2
         # fkpp saves every dt=0.5 with diffusion lambda ~25 -> h=0.0625;
         # AC saves every dt=0.01 with lambda ~15 -> one step is plenty
         return 8 if self.problem == "fisher_kpp" else 2
@@ -77,7 +80,7 @@ class SourceConfig:
         if self.max_iters_per_call is not None:
             return self.max_iters_per_call
         if self.ndim == 2:
-            return 2_000
+            return 2_000 if self.problem == "fisher_kpp" else 1_000
         # keep one device execution under ~2 min (tunnel watchdog):
         # AC integrates 101 save points/loss vs fkpp's 11
         return 10_000 if self.problem == "fisher_kpp" else 1_000
@@ -88,11 +91,13 @@ def make_data(cfg: SourceConfig) -> datagen.PDEData:
     if cfg.data_substeps is not None:
         kw["substeps"] = cfg.data_substeps
     if cfg.ndim == 2:
-        if cfg.problem != "fisher_kpp":
-            raise ValueError("ndim=2 supports problem='fisher_kpp'")
         if cfg.grid_n is not None:
             kw["n"] = cfg.grid_n
-        return datagen.fisher_kpp_2d(**kw)
+        if cfg.problem == "fisher_kpp":
+            return datagen.fisher_kpp_2d(**kw)
+        if cfg.problem == "allen_cahn":
+            return datagen.allen_cahn_source_2d(**kw)
+        raise ValueError(cfg.problem)
     if cfg.data_dx is not None:
         kw["dx"] = cfg.data_dx
     if cfg.problem == "fisher_kpp":

@@ -92,6 +92,26 @@ def fisher_kpp_2d(D: float = 0.01, r: float = 1.0, T: float = 5.0,
     return PDEData(x, ts, Xs, dx, dict(D=D, r=r, kind="fisher_kpp_2d"))
 
 
+def allen_cahn_source_2d(D: float = 1e-4, T: float = 1.0, n: int = 32,
+                         dt: float = 0.01, substeps: int = 20) -> PDEData:
+    """2-D Allen-Cahn with hidden reaction 5u - 5u^3 on a periodic
+    [-1,1]^2 grid — beyond parity (the reference is 1-D,
+    `Allen-Cahn_Source.jl:38-66`; same negative-diffusion sign
+    convention as the 1-D twin above). Initial condition: the tensor
+    generalization x^2 cos(pi x) -> product of the 1-D profiles."""
+    dx = 2.0 / n
+    x = -1.0 + np.arange(n) * dx
+    p = x ** 2 * np.cos(np.pi * x)
+    u0 = np.outer(p, p)
+    ts = np.arange(0.0, T + dt / 2, dt)
+
+    def f(t, u):
+        return -D * _lap2d_periodic_np(u, dx) + 5.0 * u - 5.0 * u ** 3
+
+    Xs = rk4_dense(f, u0, ts, substeps=substeps)
+    return PDEData(x, ts, Xs, dx, dict(D=-D, kind="allen_cahn_source_2d"))
+
+
 def allen_cahn_source(D: float = 1e-4, T: float = 1.0, dx: float = 0.05,
                       dt: float = 0.01, substeps: int = 20) -> PDEData:
     """Allen-Cahn with hidden reaction 5u - 5u^3 (Allen-Cahn_Source.jl:38-66).
