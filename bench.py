@@ -113,12 +113,22 @@ def build() -> dict:
         return lax.while_loop(cond, body,
                               (i0, params, opt_state, cur0))
 
-    def _aot(jitted, *args):
+    aot_status = {}
+
+    def _aot(name, jitted, *args):
         try:
-            from kanodes_tpu.train.loop import _aot_compile
+            import os
+
+            from kanodes_tpu.train.loop import (_AOT_DIR, _aot_compile,
+                                                _aot_key)
             exe = _aot_compile(jitted, *args)
+            # "cached" means the SERIALIZED blob exists (cross-process
+            # reuse), not just that a live executable came back
+            aot_status[name] = exe is not None and os.path.exists(
+                os.path.join(_AOT_DIR, _aot_key(jitted, *args) + ".pkl"))
             return exe if exe is not None else jitted
         except Exception:  # noqa: BLE001 — AOT is best-effort
+            aot_status[name] = False
             return jitted
 
     s1_0, s4_0 = opt_s1.init(params0), opt_s4.init(params0)
@@ -126,11 +136,13 @@ def build() -> dict:
         "params0": params0,
         "s1_0": s1_0,
         "s4_0": s4_0,
-        "train_a": _aot(train_a_to_target, params0, s1_0),
-        "train_b": _aot(train_to_target, params0, s4_0, jnp.asarray(1.0)),
-        "traj_loss": _aot(traj_loss, params0),
+        "train_a": _aot("train_a", train_a_to_target, params0, s1_0),
+        "train_b": _aot("train_b", train_to_target, params0, s4_0,
+                        jnp.asarray(1.0)),
+        "traj_loss": _aot("traj_loss", traj_loss, params0),
         "opt_s1": opt_s1,
         "opt_s4": opt_s4,
+        "aot_status": aot_status,
     }
 
 

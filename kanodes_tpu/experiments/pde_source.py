@@ -91,6 +91,8 @@ def make_data(cfg: SourceConfig) -> datagen.PDEData:
     if cfg.data_substeps is not None:
         kw["substeps"] = cfg.data_substeps
     if cfg.ndim == 2:
+        if cfg.data_dx is not None:
+            raise ValueError("data_dx is 1-D only; use grid_n for ndim=2")
         if cfg.grid_n is not None:
             kw["n"] = cfg.grid_n
         if cfg.problem == "fisher_kpp":

@@ -99,10 +99,20 @@ def stlsq(theta: np.ndarray, y: np.ndarray, *, threshold: float = 0.05,
         if (new_active == active).all():
             break
         active = new_active
-    if active.any():
+    # final UNRIDGED re-solve; if thresholding drops a term, refit on the
+    # reduced support until stable so survivors stay exact least-squares
+    for _ in range(max_iter):
+        if not active.any():
+            return np.zeros(f)
+        c = _solve(active, 0.0)
+        keep = np.abs(c) >= threshold
         coeffs = np.zeros(f)
-        coeffs[active] = _solve(active, 0.0)
-        coeffs[np.abs(coeffs) < threshold] = 0.0
+        coeffs[active] = np.where(keep, c, 0.0)
+        new_active = active.copy()
+        new_active[active] = keep
+        if (new_active == active).all():
+            break
+        active = new_active
     return coeffs
 
 

@@ -245,7 +245,18 @@ def train(loss_fn: Callable[[Any], Array],
         def _warm(carry):
             if "exe" not in aot:
                 aot["exe"] = _aot_compile(jitted, carry)
-            return aot["exe"] is not None
+            if aot["exe"] is None:
+                return False
+            # report True only if the SERIALIZED blob exists on disk:
+            # _aot_compile returns a live executable even when the
+            # serialize/store step failed, but the prewarm contract is
+            # cross-process reuse, which needs the file
+            try:
+                path = os.path.join(_AOT_DIR,
+                                    _aot_key(jitted, carry) + ".pkl")
+                return os.path.exists(path)
+            except Exception:
+                return False
 
         run_chunk.warm = _warm
 

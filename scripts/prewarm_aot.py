@@ -93,13 +93,15 @@ def source_units():
                                                     make_fns, make_model)
 
     # mirrors pde_source __main__ (full reference budgets, fused kernel)
-    # + the 2-D Fisher-KPP config of scripts/fisher2d_full.py
+    # + the 2-D configs of scripts/source2d_full.py
     units = [
         SourceConfig(problem="fisher_kpp", iters=20_000,
                      eval_every=5_000, impl="fused"),
         SourceConfig(problem="allen_cahn", iters=50_000,
                      eval_every=5_000, impl="fused"),
         SourceConfig(problem="fisher_kpp", ndim=2, iters=20_000,
+                     eval_every=500, impl="fused"),
+        SourceConfig(problem="allen_cahn", ndim=2, iters=50_000,
                      eval_every=500, impl="fused"),
     ]
     for cfg in units:
@@ -169,10 +171,8 @@ def bench_units():
 
     def go():
         b = bench.build()  # build() itself AOT-compiles its 3 programs
-        aot_dir = os.environ.get("KANODE_AOT_DIR",
-                                 os.path.expanduser("~/.cache/kanode_aot"))
-        del b
-        return os.path.isdir(aot_dir) and len(os.listdir(aot_dir)) > 0
+        status = b.get("aot_status", {})
+        return len(status) == 3 and all(status.values())
 
     _unit("bench/programs", go)
 

@@ -1,11 +1,15 @@
-"""2-D Allen-Cahn gray-box source recovery at the 1-D reference budget
-(beyond parity — `Allen-Cahn_Source.jl:38-66,164` is 1-D).
+"""2-D gray-box source recovery at the 1-D reference budgets
+(beyond parity — the reference's source experiments are 1-D only,
+`Fisher-KPP_Source.jl:33-70,170`, `Allen-Cahn_Source.jl:38-66,164`).
 
-Trains du/dt = -D*lap2d(u) + kan.(u) on 101 snapshots of the 32x32
-periodic truth on the Kronecker-factored fused kernel for the
-reference's 5e4 Adam(1e-2) budget plus a small-lr continuation, then
-recovers the hidden reaction with both symbolic engines.
-Writes artifacts/ac2d_full.json.
+Usage: python scripts/source2d_full.py [fisher_kpp|allen_cahn]
+
+Trains du/dt = D*lap2d(u) + kan.(u) on snapshots of the 32x32 periodic
+truth on the Kronecker-factored fused kernel (L@U + U@L per stage) for
+the problem's 1-D reference budget plus a small-lr continuation (Adam
+wanders a converged minimum by ~lr; optimizer-state continuity per the
+project's phase recipe), then recovers the hidden reaction law with
+BOTH symbolic engines. Writes artifacts/{fisher2d,ac2d}_full.json.
 """
 
 import json
@@ -26,14 +30,25 @@ from kanodes_tpu.experiments.pde_source import (SourceConfig,  # noqa: E402
                                                 make_model, recover_source)
 from kanodes_tpu.train.loop import TrainConfig, train  # noqa: E402
 
-OUT = "artifacts/ac2d_full.json"
-PHASES = [(1e-2, 50_000),       # the reference budget
-          (1e-3, 6_000),        # continuation: settle the minimum
-          (1e-4, 4_000)]
+PROBLEM = sys.argv[1] if len(sys.argv) > 1 else "fisher_kpp"
+# (lr, iters): phase 0 = the 1-D reference budget
+# (Fisher-KPP_Source.jl:170 2e4; Allen-Cahn_Source.jl:164 5e4), then a
+# small-lr continuation to settle the minimum before symbolic recovery
+RUNS = {
+    "fisher_kpp": dict(out="artifacts/fisher2d_full.json",
+                       phases=[(1e-2, 20_000), (1e-3, 6_000),
+                               (1e-4, 4_000)],
+                       truth="1.0*x0 - 1.0*x0**2  (r u (1-u), r=1)"),
+    "allen_cahn": dict(out="artifacts/ac2d_full.json",
+                       phases=[(1e-2, 50_000), (1e-3, 6_000),
+                               (1e-4, 4_000)],
+                       truth="5.0*x0 - 5.0*x0**3"),
+}
 
 
 def main():
-    cfg = SourceConfig(problem="allen_cahn", ndim=2, eval_every=500,
+    spec = RUNS[PROBLEM]
+    cfg = SourceConfig(problem=PROBLEM, ndim=2, eval_every=500,
                        impl="fused")
     data = make_data(cfg)
     model = make_model(cfg)
@@ -44,7 +59,7 @@ def main():
     opt_state = None
     best = (float("inf"), params)
     history = []
-    for lr, iters in PHASES:
+    for lr, iters in spec["phases"]:
         if opt_state is not None:
             opt_state = opt_state._replace(hyperparams={
                 **opt_state.hyperparams,
@@ -75,19 +90,19 @@ def main():
         "phases": history,
         "best_train": best[0],
         "train_seconds": round(train_s, 1),
-        "it_per_s": round(sum(i for _, i in PHASES) / train_s, 1),
+        "it_per_s": round(sum(i for _, i in spec["phases"]) / train_s, 1),
         "recovered_gp": rec_gp["pretty"],
         "gp_seconds": round(gp_s, 2),
         "recovered_sindy": rec_sindy["pretty"],
         "sindy_seconds": round(sindy_s, 3),
-        "truth": "5.0*x0 - 5.0*x0**3",
+        "truth": spec["truth"],
         "state_range": [float(v) for v in rec_sindy["range"]],
     }
     print(json.dumps(rec, indent=1))
     os.makedirs("artifacts", exist_ok=True)
-    with open(OUT, "w") as f:
+    with open(spec["out"], "w") as f:
         json.dump(rec, f, indent=1)
-    print("wrote", OUT)
+    print("wrote", spec["out"])
 
 
 if __name__ == "__main__":
