@@ -29,8 +29,8 @@ import itertools
 
 import numpy as np
 
-__all__ = ["polynomial_library", "stlsq", "fit_sindy", "sindy_rhs",
-           "SINDyFit"]
+__all__ = ["polynomial_library", "stlsq", "fit_sindy",
+           "fit_sindy_trajectory", "sindy_rhs", "SINDyFit"]
 
 
 def polynomial_library(X: np.ndarray, degree: int = 3
@@ -184,7 +184,8 @@ def _format(coeffs: np.ndarray, names: list[str], precision: int) -> str:
 
 def fit_sindy(X: np.ndarray, Y: np.ndarray, *, degree: int = 3,
               threshold: float | str = "auto", ridge: float = 1e-9,
-              precision: int = 5, seed: int = 0) -> list[SINDyFit]:
+              precision: int = 5, seed: int = 0,
+              gamma: float = 0.5) -> list[SINDyFit]:
     """Fit one sparse polynomial per output column of Y.
 
     Args:
@@ -209,7 +210,8 @@ def fit_sindy(X: np.ndarray, Y: np.ndarray, *, degree: int = 3,
     fits = []
     for k in range(Y.shape[1]):
         if threshold == "auto":
-            support = _auto_support(theta_s, Y[:, k], ridge=ridge, rng=rng)
+            support = _auto_support(theta_s, Y[:, k], ridge=ridge,
+                                    rng=rng, gamma=gamma)
             c_scaled = np.zeros(theta.shape[1])
             if support.any():
                 c_scaled[support] = np.linalg.lstsq(
@@ -226,6 +228,46 @@ def fit_sindy(X: np.ndarray, Y: np.ndarray, *, degree: int = 3,
             n_terms=int(np.count_nonzero(c)),
         ))
     return fits
+
+
+def fit_sindy_trajectory(ts: np.ndarray, X: np.ndarray,
+                         **kw) -> list[SINDyFit]:
+    """Classical SINDy: sparse laws straight from a SAMPLED trajectory,
+    no training — du/dt is estimated by 4th-order central differences
+    (float64) on the uniform save grid and regressed on the monomial
+    library. Complements `sindy_rhs` (which samples a TRAINED network):
+    this is the zero-cost first pass when the trajectory itself is
+    available and clean, e.g. recovering the LV field from the
+    reference's 35-sample training horizon without fitting a KAN.
+
+    Args:
+      ts: [T] uniformly spaced sample times (T >= 5).
+      X:  [T, d] trajectory samples.
+
+    Returns one SINDyFit per state dimension (fit on the interior
+    samples; two endpoints on each side are dropped by the stencil).
+    """
+    ts = np.asarray(ts, np.float64)
+    X = np.asarray(X, np.float64)
+    if X.ndim != 2 or X.shape[0] != ts.shape[0]:
+        raise ValueError(f"X must be [T, d] matching ts, got {X.shape}")
+    if ts.shape[0] < 5:
+        raise ValueError("need at least 5 samples for the 5-point stencil")
+    dt = np.diff(ts)
+    # float32 save grids carry ~1e-7 relative spacing jitter — accept it
+    if not np.allclose(dt, dt.mean(), rtol=1e-4, atol=1e-8):
+        raise ValueError("ts must be uniformly spaced")
+    h = float(dt.mean())
+    # 4th-order central first derivative on the interior
+    dX = (-X[4:] + 8.0 * X[3:-1] - 8.0 * X[1:-3] + X[:-4]) / (12.0 * h)
+    # FD truncation error is MORE structured than network approximation
+    # error (it correlates with high-order library terms along the
+    # trajectory), so parsimony needs a heavier hand than fit_sindy's
+    # default: each extra term must buy e^1 ~ 2.7x validation MSE
+    # (measured on LV dt=0.1: junk terms buy ~1.4x each, the true terms
+    # orders of magnitude)
+    kw.setdefault("gamma", 1.0)
+    return fit_sindy(X[2:-2], dX, **kw)
 
 
 def sindy_rhs(model, params, X: np.ndarray, **kw) -> list[SINDyFit]:

@@ -227,3 +227,37 @@ def test_recover_source_sindy_method():
     vals = eval_symreg_expr(rec["fit"].expression,
                             x0=np.linspace(lo, hi, 7))
     assert np.all(np.isfinite(vals))
+
+
+def test_sindy_from_trajectory_recovers_lv():
+    """Classical SINDy: the LV field straight from the reference's
+    training-horizon SAMPLES (dt=0.1, 35 points) — no model training,
+    derivatives by 4th-order central differences."""
+    from kanodes_tpu.experiments.lv import LVConfig, make_data
+    from kanodes_tpu.symbolic.sindy import fit_sindy_trajectory
+
+    data = make_data(LVConfig())
+    n = data["n_train"]
+    ts = np.asarray(data["ts"][:n])
+    X = np.asarray(data["X"][:n])
+    fits = fit_sindy_trajectory(ts, X, degree=3, threshold="auto")
+    assert fits[0].n_terms == 2 and fits[1].n_terms == 2, \
+        [f.expression for f in fits]
+    np.testing.assert_allclose(
+        fits[0].coeffs[fits[0].names.index("x0")], 1.5, atol=0.05)
+    np.testing.assert_allclose(
+        fits[0].coeffs[fits[0].names.index("x0*x1")], -1.0, atol=0.05)
+    np.testing.assert_allclose(
+        fits[1].coeffs[fits[1].names.index("x1")], -3.0, atol=0.08)
+    np.testing.assert_allclose(
+        fits[1].coeffs[fits[1].names.index("x0*x1")], 1.0, atol=0.05)
+
+
+def test_sindy_trajectory_rejects_bad_inputs():
+    from kanodes_tpu.symbolic.sindy import fit_sindy_trajectory
+
+    with np.testing.assert_raises(ValueError):
+        fit_sindy_trajectory(np.asarray([0.0, 0.1, 0.3, 0.4, 0.5]),
+                             np.zeros((5, 2)))          # non-uniform
+    with np.testing.assert_raises(ValueError):
+        fit_sindy_trajectory(np.linspace(0, 1, 4), np.zeros((4, 2)))
