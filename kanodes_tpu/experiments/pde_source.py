@@ -299,6 +299,42 @@ def recover_source(out: dict, generations: int = 250,
             "range": (lo, hi)}
 
 
+def recover_source_from_data(data: datagen.PDEData, *, ndim: int = 1,
+                             degree: int = 4, **kw) -> dict:
+    """NO-TRAINING source recovery straight from the snapshots:
+    estimate du/dt by 4th-order central differences on the save grid,
+    subtract the KNOWN diffusion term, and SINDy-fit the pointwise
+    residual against the state (beyond parity — the reference's only
+    route is minutes of KAN training + GP; for polynomial laws the
+    data identifies the law directly in milliseconds).
+
+    Works when snapshots are saved densely enough for the FD stencil
+    (Allen-Cahn's dt=0.01 grid easily; Fisher-KPP's 11 coarse saves
+    only approximately). Returns the same dict shape as
+    `recover_source`."""
+    from kanodes_tpu.symbolic.fit import simplify_expression
+    from kanodes_tpu.symbolic.sindy import fit_sindy
+
+    ts = np.asarray(data.ts, np.float64)
+    X = np.asarray(data.X, np.float64)
+    h = float(np.diff(ts).mean())
+    dXdt = (-X[4:] + 8.0 * X[3:-1] - 8.0 * X[1:-3] + X[:-4]) / (12.0 * h)
+    Xi = X[2:-2]
+    D = float(data.meta["D"])
+    if ndim == 2:
+        known = D * np.stack([datagen._lap2d_periodic_np(u, data.dx)
+                              for u in Xi])
+    else:
+        lap = datagen._cyclic_lap(X.shape[1], data.dx)
+        known = D * (Xi @ lap.T)
+    resid = (dXdt - known).reshape(-1)
+    u = Xi.reshape(-1, 1)
+    kw.setdefault("gamma", 1.0)      # FD truncation error, as in
+    fit = fit_sindy(u, resid, degree=degree, **kw)[0]  # fit_sindy_trajectory
+    return {"fit": fit, "pretty": simplify_expression(fit.expression),
+            "range": (float(u.min()), float(u.max()))}
+
+
 if __name__ == "__main__":
     import time
 

@@ -261,3 +261,26 @@ def test_sindy_trajectory_rejects_bad_inputs():
                              np.zeros((5, 2)))          # non-uniform
     with np.testing.assert_raises(ValueError):
         fit_sindy_trajectory(np.linspace(0, 1, 4), np.zeros((4, 2)))
+
+
+def test_recover_source_from_data_no_training():
+    """No-training source recovery: FD time-derivative minus known
+    diffusion, SINDy on the pointwise residual — exact laws from the
+    snapshots alone, 1-D and 2-D."""
+    from kanodes_tpu.experiments.pde_source import recover_source_from_data
+    from kanodes_tpu.pde import datagen
+
+    r = recover_source_from_data(datagen.allen_cahn_source())
+    assert r["fit"].n_terms == 2
+    np.testing.assert_allclose(
+        r["fit"].coeffs[r["fit"].names.index("x0")], 5.0, atol=1e-3)
+    np.testing.assert_allclose(
+        r["fit"].coeffs[r["fit"].names.index("x0**3")], -5.0, atol=1e-3)
+
+    r = recover_source_from_data(datagen.fisher_kpp_2d(n=16, substeps=60),
+                                 ndim=2)
+    assert r["fit"].n_terms == 2
+    np.testing.assert_allclose(
+        r["fit"].coeffs[r["fit"].names.index("x0")], 1.0, atol=5e-3)
+    np.testing.assert_allclose(
+        r["fit"].coeffs[r["fit"].names.index("x0**2")], -1.0, atol=5e-3)
