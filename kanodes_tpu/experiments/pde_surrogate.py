@@ -36,6 +36,10 @@ _SNAPSHOTS = {
     # Allen-Cahn_Surrogate.jl:66-71 — t0 excluded
     "allen_cahn": dict(idx=[10, 30, 50, 70, 90], include_t0=False,
                        kan_grid=10, hidden=10, iters_ref=100_000),
+    # beyond parity: 2-D Allen-Cahn full-state surrogate ([n^2,H,n^2]
+    # chain on flattened 32x32 fields) — 1-D AC snapshot protocol
+    "allen_cahn_2d": dict(idx=[10, 30, 50, 70, 90], include_t0=False,
+                          kan_grid=10),
     # Schrodinger_Surrogate.jl:72-78 — 8 snapshots, t0 excluded
     "schrodinger": dict(idx=[10, 30, 50, 70, 90, 110, 130, 150],
                         include_t0=False, kan_grid=10, hidden=10,
@@ -77,6 +81,7 @@ class SurrogateConfig:
     # reference protocol values)
     data_dx: float | None = None
     data_substeps: int | None = None
+    data_n: int | None = None          # 2-D problems: grid points per side
 
     def resolved_chunk(self) -> int:
         if self.max_iters_per_call is not None:
@@ -94,9 +99,15 @@ class SurrogateConfig:
 def make_data(cfg: SurrogateConfig) -> datagen.PDEData:
     gen = {"burgers": datagen.burgers,
            "allen_cahn": datagen.allen_cahn_surrogate,
+           "allen_cahn_2d": datagen.allen_cahn_surrogate_2d,
            "schrodinger": datagen.schrodinger}[cfg.problem]
     kw = {}
-    if cfg.data_dx is not None:
+    if cfg.problem.endswith("_2d"):
+        if cfg.data_dx is not None:
+            raise ValueError("data_dx is 1-D only; use data_n for 2-D")
+        if cfg.data_n is not None:
+            kw["n"] = cfg.data_n
+    elif cfg.data_dx is not None:
         kw["dx"] = cfg.data_dx
     if cfg.data_substeps is not None:
         kw["substeps"] = cfg.data_substeps

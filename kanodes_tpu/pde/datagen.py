@@ -130,6 +130,29 @@ def allen_cahn_source(D: float = 1e-4, T: float = 1.0, dx: float = 0.05,
     return PDEData(x, ts, Xs, dx, dict(D=-D, kind="allen_cahn_source"))
 
 
+def allen_cahn_surrogate_2d(n: int = 32, dt: float = 0.01, T: float = 1.0,
+                            D: float = 1e-4,
+                            substeps: int = 20) -> PDEData:
+    """2-D Allen-Cahn FULL-STATE surrogate truth on a periodic [-1,1]^2
+    grid — beyond parity (`Allen-Cahn_Surrogate.jl:37-66` is 1-D). The
+    surrogate learns the ENTIRE du/dt map, so snapshots come back
+    FLATTENED ([Nt, n*n]) for the [n^2, H, n^2] KAN chain; meta carries
+    the 2-D shape. Physics matches the 1-D surrogate twin: positive
+    diffusion + 5(u - u^3) reaction."""
+    dx = 2.0 / n
+    x = -1.0 + np.arange(n) * dx
+    p = x ** 2 * np.cos(np.pi * x)
+    u0 = np.outer(p, p)
+    ts = np.arange(0.0, T + dt / 2, dt)
+
+    def f(t, u):
+        return D * _lap2d_periodic_np(u, dx) + 5.0 * (u - u ** 3)
+
+    Xs = rk4_dense(f, u0, ts, substeps=substeps)
+    return PDEData(x, ts, Xs.reshape(len(ts), n * n), dx,
+                   dict(D=D, kind="allen_cahn_surrogate_2d", shape=(n, n)))
+
+
 def burgers(nu: float | None = None, dx: float = 0.05, dt: float = 0.01,
             T: float = 1.0, substeps: int = 40) -> PDEData:
     """Viscous Burgers, Dirichlet 0, u0 = -sin(pi x)

@@ -65,7 +65,8 @@ def surrogate_units():
 
     # mirrors scripts/surrogate_full.py: fused tsit5, substeps 20,
     # chunk 2000 / eval 500 -> one chunk shape per (problem, mode)
-    for problem in ("schrodinger", "allen_cahn", "burgers"):
+    for problem in ("schrodinger", "allen_cahn", "burgers",
+                    "allen_cahn_2d"):
         base = SurrogateConfig(problem=problem, impl="fused",
                                rk_solver="tsit5", substeps=20,
                                bwd_precision="highest",

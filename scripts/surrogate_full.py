@@ -60,6 +60,12 @@ PHASES_BY_PROBLEM = {
                    ("fixed", 3e-4, 20_000)],
     "burgers": [("shooting", 1e-2, 10_000),    # reference budget 2e4
                 ("fixed", 1e-3, 10_000)],
+    # beyond parity: 2-D full-state AC ([1024,10,1024] chain) at the
+    # 1-D reference budget. lr is 3x cooler than 1-D AC: at 1024-wide
+    # the 1e-2 schedule reaches 1.3e-6 then destabilizes (measured)
+    "allen_cahn_2d": [("shooting", 3e-3, 50_000),
+                      ("shooting", 3e-4, 30_000),
+                      ("fixed", 1e-4, 20_000)],
 }
 PHASES = PHASES_BY_PROBLEM[PROBLEM]
 

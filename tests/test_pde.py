@@ -387,3 +387,33 @@ def test_sharded_source_2d_training_matches_single_device():
     np.testing.assert_allclose(np.asarray(outs["loss_history"]),
                                np.asarray(out0["loss_history"]),
                                rtol=1e-4, atol=1e-8)
+
+
+def test_sharded_2d_surrogate_matches_single_device():
+    """Grid-TP sharding on the 2-D FULL-STATE surrogate chain
+    ([n^2, H, n^2] on flattened fields): losses/grads match the
+    single-device path — the TP story at the width where it matters."""
+    from kanodes_tpu.experiments import pde_surrogate as ps
+    from kanodes_tpu.pde.sharded import shard_chain_params
+
+    kw = dict(problem="allen_cahn_2d", data_n=8, data_substeps=10,
+              substeps=2, iters=4, eval_every=2, solve_mode="shooting")
+    cfg0 = ps.SurrogateConfig(**kw)
+    cfgm = ps.SurrogateConfig(**kw, mesh=(2, 4))
+    data = ps.make_data(cfg0)
+    model = ps.make_model(cfg0, data)
+    params = model.init(jax.random.PRNGKey(0))
+
+    train_l, _, _ = ps.make_fns(cfg0, model, data)
+    mesh = ps.build_mesh(cfgm)
+    train_s, _, _ = ps.make_sharded_fns(cfgm, model, data, mesh)
+    params_s = shard_chain_params(mesh, model, params)
+
+    np.testing.assert_allclose(float(train_s(params_s)),
+                               float(train_l(params)), rtol=2e-6)
+    g = jax.grad(train_l)(params)
+    g_s = jax.grad(train_s)(params_s)
+    for a, b in zip(jax.tree_util.tree_leaves(g),
+                    jax.tree_util.tree_leaves(g_s)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-6)

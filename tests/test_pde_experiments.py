@@ -270,3 +270,17 @@ def test_ac_2d_short_training_descends_fused_matches_xla():
     for a, b in zip(jax.tree_util.tree_leaves(gf),
                     jax.tree_util.tree_leaves(gx)):
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-6)
+
+
+def test_ac_2d_surrogate_short_training_descends():
+    """Beyond parity: 2-D FULL-STATE Allen-Cahn surrogate ([n^2,H,n^2]
+    chain) trains on both impls with the unmodified wide kernels."""
+    from kanodes_tpu.experiments.pde_surrogate import SurrogateConfig, run
+    for impl in ("xla", "fused"):
+        cfg = SurrogateConfig(problem="allen_cahn_2d", data_n=8,
+                              data_substeps=10, iters=60, eval_every=60,
+                              substeps=2, impl=impl,
+                              solve_mode="shooting")
+        out = run(cfg)
+        h = np.asarray(out["loss_history"])
+        assert np.isfinite(h).all() and h[-1] < h[0], impl
