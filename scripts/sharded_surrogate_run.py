@@ -29,10 +29,20 @@ import numpy as np
 
 from kanodes_tpu.experiments.pde_surrogate import SurrogateConfig, run
 
-ITERS = 200
-base = SurrogateConfig(problem="schrodinger", solve_mode="shooting",
-                       substeps=8, iters=ITERS, eval_every=50,
-                       impl="xla")
+# usage: python scripts/sharded_surrogate_run.py [schrodinger|allen_cahn_2d]
+PROBLEM = sys.argv[1] if len(sys.argv) > 1 else "schrodinger"
+RUNS = {
+    # full-size Schrödinger: [402,10,402]
+    "schrodinger": dict(iters=200, substeps=8, state=402, suffix=""),
+    # beyond parity: 2-D full-state chain [1024,10,1024] (heavier per
+    # iter on the single-core virtual mesh -> fewer iters)
+    "allen_cahn_2d": dict(iters=60, substeps=2, state=1024, suffix="_2d"),
+}
+spec = RUNS[PROBLEM]
+ITERS = spec["iters"]
+base = SurrogateConfig(problem=PROBLEM, solve_mode="shooting",
+                       substeps=spec["substeps"], iters=ITERS,
+                       eval_every=ITERS // 4, impl="xla")
 
 t0 = time.time()
 out_single = run(base)
@@ -53,7 +63,7 @@ rel = np.abs(h_m - h_s) / (np.abs(h_s) + 1e-30)
 rel10 = float(np.max(rel[:10]))
 c1 = out_mesh["params"][0]["C"]
 result = {
-    "problem": "schrodinger", "state_dim": 402, "mesh": [4, 2],
+    "problem": PROBLEM, "state_dim": spec["state"], "mesh": [4, 2],
     "iters": ITERS,
     "single_final_loss": float(h_s[-1]),
     "mesh_final_loss": float(h_m[-1]),
@@ -70,7 +80,8 @@ result = {
              "asserted by tests/test_pde.py"),
 }
 os.makedirs("artifacts", exist_ok=True)
-with open("artifacts/sharded_surrogate_run.json", "w") as f:
+with open(f"artifacts/sharded_surrogate_run{spec['suffix']}.json",
+          "w") as f:
     json.dump(result, f, indent=1)
 print(json.dumps(result, indent=1))
 assert rel10 < 1e-3, rel10
