@@ -53,6 +53,7 @@ class SurrogateConfig:
     hidden: int = 10
     kan_grid: int | None = None        # None -> reference value
     normalizer: str = "softsign"
+    basis: str = "rbf"                 # rbf | iqf | rswaf (all fused)
     lr: float = 1e-2                   # Burgers/AC 1e-2, Schr 1e-3
     iters: int = 2000
     eval_every: int = 500
@@ -119,7 +120,8 @@ def make_model(cfg: SurrogateConfig, data: datagen.PDEData) -> KANChain:
     n_state = data.X.shape[1]
     grid = cfg.kan_grid or spec["kan_grid"]
     return KANChain.mlp_like([n_state, cfg.hidden, n_state],
-                             grid_len=grid, normalizer=cfg.normalizer)
+                             grid_len=grid, normalizer=cfg.normalizer,
+                             basis=cfg.basis)
 
 
 def make_fns(cfg: SurrogateConfig, model: KANChain,

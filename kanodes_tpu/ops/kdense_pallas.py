@@ -90,6 +90,7 @@ class ChainSpec:
     grid_lims: tuple[float, float] = (-1.0, 1.0)
     denominator: float | None = None
     normalizer: str = "tanh"
+    basis: str = "rbf"                 # rbf | iqf | rswaf (local bases)
 
     @property
     def h(self) -> float:
@@ -135,6 +136,31 @@ def _dnorm(x, kind: str):
     raise ValueError(kind)
 
 
+def _basis_val(u, kind: str):
+    """Radial basis value B(u) on the normalized distance u — the three
+    local bases of `ops/basis.py` (utils.jl:8-62); global bases (cheby/
+    fourier) are XLA-path only."""
+    if kind == "rbf":
+        return jnp.exp(-(u * u))
+    if kind == "iqf":
+        return 1.0 / (1.0 + u * u)
+    if kind == "rswaf":
+        t = jnp.tanh(u)
+        return 1.0 - t * t
+    raise ValueError(kind)
+
+
+def _basis_du(u, B, kind: str):
+    """dB/du given the already-computed B (cheap forms for each basis)."""
+    if kind == "rbf":
+        return -2.0 * u * B
+    if kind == "iqf":
+        return -2.0 * u * B * B
+    if kind == "rswaf":
+        return -2.0 * jnp.tanh(u) * B
+    raise ValueError(kind)
+
+
 def _swish(x):
     return x * jax.nn.sigmoid(x)
 
@@ -144,14 +170,15 @@ def _dswish(x):
     return s * (1.0 + x * (1.0 - s))
 
 
-def _layer_fwd(x, c, w, gflat, h, expand, normalizer="tanh"):
+def _layer_fwd(x, c, w, gflat, h, expand, normalizer="tanh",
+               basis_kind="rbf"):
     """One KDense layer on 2-D blocks: x[K,I], c[I*G,O], w[I,O],
     gflat[1,I*G], expand[I,I*G]. Returns (y, u, basis)."""
     xn = _norm(x, normalizer)
     xn_rep = jnp.dot(xn, expand, preferred_element_type=jnp.float32,
                 precision=_PREC[0])
     u = (xn_rep - gflat) * (1.0 / h)
-    basis = jnp.exp(-(u * u))                          # [K, I*G]
+    basis = _basis_val(u, basis_kind)                  # [K, I*G]
     y = jnp.dot(basis, c, preferred_element_type=jnp.float32,
                 precision=_PREC[0]) \
         + jnp.dot(_swish(x), w, preferred_element_type=jnp.float32,
@@ -160,16 +187,16 @@ def _layer_fwd(x, c, w, gflat, h, expand, normalizer="tanh"):
 
 
 def _layer_bwd(x, c, w, gflat, h, u, basis, gy, collapse,
-               normalizer="tanh"):
+               normalizer="tanh", basis_kind="rbf"):
     """Backward of one layer. gy: [K, O]. Returns (dx, dc, dw)."""
     dc = jnp.dot(basis.T, gy, preferred_element_type=jnp.float32,
                 precision=_PREC[0])
     dw = jnp.dot(_swish(x).T, gy, preferred_element_type=jnp.float32,
                 precision=_PREC[0])
-    # spline path: dbasis = gy @ c.T ; du = -2 u basis ; dxn_rep = du / h
+    # spline path: dbasis = gy @ c.T ; du = dB/du ; dxn_rep = du / h
     m = jnp.dot(gy, c.T, preferred_element_type=jnp.float32,
                 precision=_PREC[0])   # [K, I*G]
-    dxn_rep = m * (-2.0 * u * basis) * (1.0 / h)
+    dxn_rep = m * _basis_du(u, basis, basis_kind) * (1.0 / h)
     dxn = jnp.dot(dxn_rep, collapse,
                   preferred_element_type=jnp.float32,
                 precision=_PREC[0])           # [K, I]
@@ -186,9 +213,9 @@ def _layer_bwd(x, c, w, gflat, h, u, basis, gy, collapse,
 def _chain_fwd_kernel(spec, x_ref, c1_ref, w1_ref, c2_ref, w2_ref,
                       g1_ref, g2_ref, e1_ref, e2_ref, y_ref, y1_ref):
     y1, _, _ = _layer_fwd(x_ref[:], c1_ref[:], w1_ref[:], g1_ref[:], spec.h,
-                          e1_ref[:], spec.normalizer)
+                          e1_ref[:], spec.normalizer, spec.basis)
     y2, _, _ = _layer_fwd(y1, c2_ref[:], w2_ref[:], g2_ref[:], spec.h,
-                          e2_ref[:], spec.normalizer)
+                          e2_ref[:], spec.normalizer, spec.basis)
     y_ref[:] = y2
     y1_ref[:] = y1
 
@@ -199,13 +226,13 @@ def _chain_bwd_kernel(spec, x_ref, y1_ref, c1_ref, w1_ref, c2_ref, w2_ref,
     x, y1, gy = x_ref[:], y1_ref[:], gy_ref[:]
     # recompute cheap forward intermediates (basis tensors)
     _, u2, b2 = _layer_fwd(y1, c2_ref[:], w2_ref[:], g2_ref[:], spec.h,
-                           e2_ref[:], spec.normalizer)
+                           e2_ref[:], spec.normalizer, spec.basis)
     dy1, dc2, dw2 = _layer_bwd(y1, c2_ref[:], w2_ref[:], g2_ref[:], spec.h,
-                               u2, b2, gy, s2_ref[:], spec.normalizer)
+                               u2, b2, gy, s2_ref[:], spec.normalizer, spec.basis)
     _, u1, b1 = _layer_fwd(x, c1_ref[:], w1_ref[:], g1_ref[:], spec.h,
-                           e1_ref[:], spec.normalizer)
+                           e1_ref[:], spec.normalizer, spec.basis)
     dx, dc1, dw1 = _layer_bwd(x, c1_ref[:], w1_ref[:], g1_ref[:], spec.h,
-                              u1, b1, dy1, s1_ref[:], spec.normalizer)
+                              u1, b1, dy1, s1_ref[:], spec.normalizer, spec.basis)
     dx_ref[:] = dx
     dc1_ref[:] = dc1
     dw1_ref[:] = dw1
@@ -290,17 +317,19 @@ def chain_spec_of(chain) -> ChainSpec:
         raise ValueError("fused path supports exactly 2 layers")
     l1, l2 = chain.layers
     for l in (l1, l2):
-        if (l.basis, l.base_act, l.use_base_act) != \
-                ("rbf", "swish", True) or \
+        if l.basis not in ("rbf", "iqf", "rswaf") or \
+                (l.base_act, l.use_base_act) != ("swish", True) or \
                 l.normalizer not in ("tanh", "softsign"):
-            raise ValueError("fused path requires rbf basis, swish base "
-                             "act, and a tanh/softsign normalizer")
+            raise ValueError("fused path requires a local basis "
+                             "(rbf/iqf/rswaf), swish base act, and a "
+                             "tanh/softsign normalizer")
         if l.grid_len != l1.grid_len or l.grid_lims != l1.grid_lims \
-                or l.normalizer != l1.normalizer:
-            raise ValueError("fused path requires shared grid/normalizer")
+                or l.normalizer != l1.normalizer or l.basis != l1.basis:
+            raise ValueError("fused path requires shared "
+                             "grid/normalizer/basis")
     return ChainSpec(l1.in_dims, l1.out_dims, l2.out_dims, l1.grid_len,
                      tuple(float(v) for v in l1.grid_lims),
-                     l1.denominator, l1.normalizer)
+                     l1.denominator, l1.normalizer, l1.basis)
 
 
 def fused_params(chain_params) -> tuple[Array, Array, Array, Array]:

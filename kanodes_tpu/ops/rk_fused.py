@@ -40,6 +40,7 @@ from kanodes_tpu.ode.tableaus import Tableau, get_tableau
 from kanodes_tpu.ops.kdense_pallas import (ChainSpec, _interpret_default,
                                            _layer_fwd, _layer_bwd,
                                            _swish, _dswish, _dnorm,
+                                           _basis_du,
                                            _PREC, _BWD_PRECS, _prec_ctx,
                                            check_bwd_precision)
 
@@ -66,32 +67,33 @@ def _needed_stages(tab: Tableau) -> list[bool]:
     return needed
 
 
-def _chain_f(x, c1, w1, c2, w2, g1, g2, e1, e2, h, normalizer="tanh"):
+def _chain_f(x, c1, w1, c2, w2, g1, g2, e1, e2, h, normalizer="tanh",
+             basis_kind="rbf"):
     """2-layer KDense chain forward (returns y2 and the y1 intermediate)."""
-    y1, _, _ = _layer_fwd(x, c1, w1, g1, h, e1, normalizer)
-    y2, _, _ = _layer_fwd(y1, c2, w2, g2, h, e2, normalizer)
+    y1, _, _ = _layer_fwd(x, c1, w1, g1, h, e1, normalizer, basis_kind)
+    y2, _, _ = _layer_fwd(y1, c2, w2, g2, h, e2, normalizer, basis_kind)
     return y2, y1
 
 
 def _chain_vjp(x, y1, c1, w1, c2, w2, g1, g2, e1, e2, s1, s2, h, gy,
-               normalizer="tanh"):
+               normalizer="tanh", basis_kind="rbf"):
     """VJP of the chain at x (y1 = stored intermediate). Returns
     (dx, dc1, dw1, dc2, dw2)."""
-    _, u2, b2 = _layer_fwd(y1, c2, w2, g2, h, e2, normalizer)
+    _, u2, b2 = _layer_fwd(y1, c2, w2, g2, h, e2, normalizer, basis_kind)
     dy1, dc2, dw2 = _layer_bwd(y1, c2, w2, g2, h, u2, b2, gy, s2,
-                               normalizer)
-    _, u1, b1 = _layer_fwd(x, c1, w1, g1, h, e1, normalizer)
+                               normalizer, basis_kind)
+    _, u1, b1 = _layer_fwd(x, c1, w1, g1, h, e1, normalizer, basis_kind)
     dx, dc1, dw1 = _layer_bwd(x, c1, w1, g1, h, u1, b1, dy1, s1,
-                              normalizer)
+                              normalizer, basis_kind)
     return dx, dc1, dw1, dc2, dw2
 
 
 def _layer_bwd_dx(x, c, w, gflat, h, u, basis, gy, collapse,
-                  normalizer="tanh"):
+                  normalizer="tanh", basis_kind="rbf"):
     """dx-path of _layer_bwd only (the parameter GEMMs are deferred)."""
     m = jnp.dot(gy, c.T, preferred_element_type=jnp.float32,
                 precision=_PREC[0])   # [K, I*G]
-    dxn_rep = m * (-2.0 * u * basis) * (1.0 / h)
+    dxn_rep = m * _basis_du(u, basis, basis_kind) * (1.0 / h)
     dxn = jnp.dot(dxn_rep, collapse,
                   preferred_element_type=jnp.float32,
                   precision=_PREC[0])           # [K, I]
@@ -101,15 +103,17 @@ def _layer_bwd_dx(x, c, w, gflat, h, u, basis, gy, collapse,
 
 
 def _chain_vjp_collect(x, y1, c1, w1, c2, w2, g1, g2, e1, e2, s1, s2, h,
-                       gy, normalizer="tanh"):
+                       gy, normalizer="tanh", basis_kind="rbf"):
     """Chain VJP with DEFERRED parameter cotangents: returns
     (dx, (b1, swx, dy1, b2, swy1, gy)) so the caller can batch
       dc1 = b1^T dy1, dw1 = swx^T dy1, dc2 = b2^T gy, dw2 = swy1^T gy
     across stages and steps (one GEMM each per window)."""
-    _, u2, b2 = _layer_fwd(y1, c2, w2, g2, h, e2, normalizer)
-    dy1 = _layer_bwd_dx(y1, c2, w2, g2, h, u2, b2, gy, s2, normalizer)
-    _, u1, b1 = _layer_fwd(x, c1, w1, g1, h, e1, normalizer)
-    dx = _layer_bwd_dx(x, c1, w1, g1, h, u1, b1, dy1, s1, normalizer)
+    _, u2, b2 = _layer_fwd(y1, c2, w2, g2, h, e2, normalizer, basis_kind)
+    dy1 = _layer_bwd_dx(y1, c2, w2, g2, h, u2, b2, gy, s2, normalizer,
+                        basis_kind)
+    _, u1, b1 = _layer_fwd(x, c1, w1, g1, h, e1, normalizer, basis_kind)
+    dx = _layer_bwd_dx(x, c1, w1, g1, h, u1, b1, dy1, s1, normalizer,
+                       basis_kind)
     return dx, (b1, _swish(x), dy1, b2, _swish(y1), gy)
 
 
@@ -152,7 +156,7 @@ def _step_fwd_kernel(spec, tab, dt, needed,
             if tab.a[i][j] != 0.0 and ks[j] is not None:
                 xi = xi + (dt * tab.a[i][j]) * ks[j]
         ks[i], _ = _chain_f(xi, c1, w1, c2, w2, g1, g2, e1, e2, spec.h,
-                            spec.normalizer)
+                            spec.normalizer, spec.basis)
     y = x
     for i in range(tab.stages):
         if tab.b[i] != 0.0:
@@ -184,7 +188,7 @@ def _step_bwd_kernel(spec, tab, dt, needed,
                 xi = xi + (dt * tab.a[i][j]) * ks[j]
         xs[i] = xi
         ks[i], y1s[i] = _chain_f(xi, c1, w1, c2, w2, g1, g2, e1, e2,
-                                 spec.h, spec.normalizer)
+                                 spec.h, spec.normalizer, spec.basis)
 
     # reverse recursion
     xbar = gy
@@ -201,7 +205,7 @@ def _step_bwd_kernel(spec, tab, dt, needed,
             continue
         dxi, dc1i, dw1i, dc2i, dw2i = _chain_vjp(
             xs[i], y1s[i], c1, w1, c2, w2, g1, g2, e1, e2, s1, s2,
-            spec.h, kbar[i], spec.normalizer)
+            spec.h, kbar[i], spec.normalizer, spec.basis)
         xbar = xbar + dxi
         dc1 = dc1 + dc1i
         dw1 = dw1 + dw1i
@@ -324,7 +328,7 @@ def _multistep_fwd_kernel(spec, tab, dt, needed, n_steps,
                 if tab.a[i][j] != 0.0 and ks[j] is not None:
                     xi = xi + (dt * tab.a[i][j]) * ks[j]
             ks[i], _ = _chain_f(xi, c1, w1, c2, w2, g1, g2, e1, e2,
-                                spec.h, spec.normalizer)
+                                spec.h, spec.normalizer, spec.basis)
         y = x
         for i in range(tab.stages):
             if tab.b[i] != 0.0:
@@ -372,7 +376,7 @@ def _multistep_bwd_kernel(spec, tab, dt, needed, n_steps, window,
                     xi = xi + (dt * tab.a[i][j]) * ks[j]
             xs[i] = xi
             ks[i], y1s[i] = _chain_f(xi, c1, w1, c2, w2, g1, g2, e1, e2,
-                                     spec.h, spec.normalizer)
+                                     spec.h, spec.normalizer, spec.basis)
         dx = xbar
         kbar = [None] * tab.stages
         for i in range(tab.stages):
@@ -384,7 +388,7 @@ def _multistep_bwd_kernel(spec, tab, dt, needed, n_steps, window,
                 continue
             dxi, ops = _chain_vjp_collect(
                 xs[i], y1s[i], c1, w1, c2, w2, g1, g2, e1, e2, s1, s2,
-                spec.h, kbar[i], spec.normalizer)
+                spec.h, kbar[i], spec.normalizer, spec.basis)
             per_stage.append(ops)
             dx = dx + dxi
             for j in range(i):

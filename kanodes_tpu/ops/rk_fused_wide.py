@@ -40,7 +40,8 @@ from kanodes_tpu.ode.tableaus import get_tableau
 from kanodes_tpu.ops.kdense_pallas import (ChainSpec, _interpret_default,
                                            _norm, _dnorm, _swish, _dswish,
                                            _PREC, _BWD_PRECS, _prec_ctx,
-                                           check_bwd_precision)
+                                           check_bwd_precision,
+                                           _basis_val, _basis_du)
 from kanodes_tpu.ops.rk_fused import _needed_stages, _bwd_window
 
 Array = jax.Array
@@ -144,7 +145,7 @@ def _wide_basis(ws: WideSpec, xn, gwide):
     inv_h = 1.0 / ws.spec.h
     xrep = jnp.concatenate([xn] * ws.G, axis=1)
     u = (xrep - gwide) * inv_h
-    return jnp.exp(-(u * u))
+    return _basis_val(u, ws.spec.basis)
 
 
 def _wide_basis_db(ws: WideSpec, xn, gwide):
@@ -155,8 +156,8 @@ def _wide_basis_db(ws: WideSpec, xn, gwide):
     inv_h = 1.0 / ws.spec.h
     xrep = jnp.concatenate([xn] * ws.G, axis=1)
     u = (xrep - gwide) * inv_h
-    B = jnp.exp(-(u * u))
-    return B, (-2.0 * inv_h) * u * B
+    B = _basis_val(u, ws.spec.basis)
+    return B, inv_h * _basis_du(u, B, ws.spec.basis)
 
 
 def _wide_layer1_fwd(ws: WideSpec, x, c1, w1, gwide):
@@ -191,7 +192,7 @@ def _small_layer_fwd(ws: WideSpec, y1, c2, w2, gsm, esm):
     xn = _norm(y1, ws.spec.normalizer)
     rep = _dot(xn, esm)
     u = (rep - gsm) * (1.0 / h)
-    basis = jnp.exp(-(u * u))                          # [K, H*G]
+    basis = _basis_val(u, ws.spec.basis)               # [K, H*G]
     return _dot(basis, c2) + _dot(_swish(y1), w2), u, basis
 
 
@@ -217,9 +218,9 @@ def _chain_vjp_wide_dx(ws, x, y1, c1, w1, c2, w2, gsm, esm, ssm, gy,
     xn2 = _norm(y1, ws.spec.normalizer)
     rep = _dot(xn2, esm)
     u2 = (rep - gsm) * (1.0 / h)
-    b2 = jnp.exp(-(u2 * u2))                           # [K, H*G]
+    b2 = _basis_val(u2, ws.spec.basis)                 # [K, H*G]
     m2 = _dot(gy, c2.T)
-    drep = m2 * (-2.0 * u2 * b2) * (1.0 / h)
+    drep = m2 * _basis_du(u2, b2, ws.spec.basis) * (1.0 / h)
     dxn2 = _dot(drep, ssm)
     dy1 = dxn2 * _dnorm(y1, ws.spec.normalizer) \
         + _dot(gy, w2.T) * _dswish(y1)
@@ -315,7 +316,7 @@ def _window_rebuild(ws, tab, dt, needed, Xb, c1, w1, c2, w2, gsm, esm,
         out["y1s"][i] = y1
         ks[i], u2, b2 = _small_layer_fwd(ws, y1, c2, w2, gsm, esm)
         out["b2s"][i] = b2
-        out["D2s"][i] = (-2.0 / h) * u2 * b2
+        out["D2s"][i] = _basis_du(u2, b2, ws.spec.basis) * (1.0 / h)
         out["dnxs"][i] = _dnorm(xi, ws.spec.normalizer)
         out["dsxs"][i] = _dswish(xi)
         out["dny1s"][i] = _dnorm(y1, ws.spec.normalizer)

@@ -171,9 +171,9 @@ def bench_units():
     import bench
 
     def go():
-        b = bench.build()  # build() itself AOT-compiles its 3 programs
+        b = bench.build()  # build() itself AOT-compiles its 4 programs
         status = b.get("aot_status", {})
-        return len(status) == 3 and all(status.values())
+        return len(status) == 4 and all(status.values())
 
     _unit("bench/programs", go)
 

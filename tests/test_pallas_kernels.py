@@ -87,9 +87,38 @@ def test_single_layer_grad_matches_xla():
 
 
 def test_fused_path_rejects_unsupported_config():
-    bad = KANChain.mlp_like([2, 5, 2], grid_len=5, basis="iqf")
+    # global bases stay XLA-only (local rbf/iqf/rswaf are fused)
+    bad = KANChain.mlp_like([2, 5, 2], grid_len=5, basis="cheby")
     with pytest.raises(ValueError):
         chain_spec_of(bad)
+
+
+@pytest.mark.parametrize("basis", ["iqf", "rswaf"])
+def test_fused_chain_alt_basis_matches_xla(basis):
+    """The fused kernels support all three LOCAL bases; forward and
+    gradients must match the XLA path per basis."""
+    chain = KANChain.mlp_like([2, 10, 2], grid_len=5, basis=basis)
+    cparams = chain.init(jax.random.PRNGKey(7))
+    spec = chain_spec_of(chain)
+    assert spec.basis == basis
+    x = jax.random.normal(jax.random.PRNGKey(8), (6, 2))
+    y_pal = kan_chain_apply(spec, x, *fused_params(cparams), True)
+    np.testing.assert_allclose(y_pal, chain.apply(cparams, x),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss_pal(params, x):
+        y = kan_chain_apply(spec, x, *fused_params(params), True)
+        return jnp.sum(jnp.sin(y) * y)
+
+    def loss_xla(params, x):
+        return jnp.sum(jnp.sin(chain.apply(params, x))
+                       * chain.apply(params, x))
+
+    gp = jax.grad(loss_pal, argnums=(0, 1))(cparams, x)
+    gx = jax.grad(loss_xla, argnums=(0, 1))(cparams, x)
+    for a, b in zip(jax.tree_util.tree_leaves(gp),
+                    jax.tree_util.tree_leaves(gx)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5)
 
 
 def test_ode_solve_with_fused_rhs_matches_xla(chain, cparams):

@@ -148,3 +148,43 @@ def test_bwd_precision_validated_at_call():
     with pytest.raises(ValueError, match="bwd_precision"):
         fused_rk_multistep(spec, "rk4", 0.1, 3, x, c1, w1, c2, w2,
                            bwd_precision="f32")
+
+
+@pytest.mark.parametrize("basis", ["iqf", "rswaf"])
+def test_fused_multistep_alt_basis_matches_xla(basis):
+    """Whole-trajectory multistep kernel with the alternate LOCAL bases:
+    rollout and loss-gradient parity vs the XLA integrator."""
+    from kanodes_tpu.ops.rk_fused import fused_rk_multistep
+
+    chain = KANChain.mlp_like([2, 10, 2], grid_len=5, basis=basis)
+    params = jax.tree_util.tree_map(
+        lambda a: a * 0.5, chain.init(jax.random.PRNGKey(3)))
+    spec = chain_spec_of(chain)
+    fp = fused_params(params)
+    x0 = jnp.asarray([[1.0, 1.0]])
+    dt, n = 0.1, 5
+    ys = fused_rk_multistep(spec, "tsit5", dt, n, x0, *fp, True)
+
+    def rhs(t, u, p):
+        return chain.apply(p, u)
+
+    ts = jnp.asarray(np.arange(n + 1) * dt, jnp.float32)
+    want = odeint_fixed(rhs, x0[0], ts, params, solver="tsit5")
+    np.testing.assert_allclose(ys[:, 0, :], want[1:], rtol=1e-5, atol=1e-6)
+
+    tgt = jnp.ones((n, 1, 2))
+
+    def loss_fused(p):
+        fp = fused_params(p)
+        return jnp.mean((fused_rk_multistep(spec, "tsit5", dt, n, x0, *fp,
+                                            True) - tgt) ** 2)
+
+    def loss_ref(p):
+        ys = odeint_fixed(rhs, x0[0], ts, p, solver="tsit5")[1:]
+        return jnp.mean((ys[:, None, :] - tgt) ** 2)
+
+    gf = jax.grad(loss_fused)(params)
+    gr = jax.grad(loss_ref)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-5)
