@@ -115,6 +115,7 @@ def trend_plot(results: list[dict], path: str,
                 if r["model"] == model and r.get("depth", 2) == depth]
 
     styles = (("kan", 2, "tab:blue", "o", "KAN-ODE d=2"),
+              ("kan", 3, "tab:cyan", "^", "KAN-ODE d=3"),
               ("mlp", 2, "tab:red", "s", "MLP-NODE d=2"),
               ("mlp", 3, "tab:purple", "D", "MLP-NODE d=3"))
     for model, depth, color, marker, label in styles:

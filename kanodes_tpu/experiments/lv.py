@@ -58,6 +58,10 @@ class LVConfig:
     # model
     model: str = "kan"                 # kan | mlp | bspline_kan
     layer_width: int = 10
+    # full width list for deep KAN chains (overrides layer_width when
+    # set; e.g. (2, 5, 5, 2) is the depth-3 analogue of the reference's
+    # two-hidden-layer "d=3" MLP trend rows, trend_plotter.py:13-14)
+    kan_widths: tuple[int, ...] | None = None
     grid_size: int = 5
     basis: str = "rbf"
     normalizer: str = "tanh"
@@ -116,7 +120,9 @@ def make_data(cfg: LVConfig):
 
 def make_model(cfg: LVConfig):
     if cfg.model == "kan":
-        return KANChain.mlp_like([2, cfg.layer_width, 2],
+        widths = (list(cfg.kan_widths) if cfg.kan_widths is not None
+                  else [2, cfg.layer_width, 2])
+        return KANChain.mlp_like(widths,
                                  grid_len=cfg.grid_size, basis=cfg.basis,
                                  normalizer=cfg.normalizer)
     if cfg.model == "mlp":

@@ -45,9 +45,13 @@ class SweepPoint:
     grid_size: int = 5
     mlp_hidden: int = 50
     mlp_depth: int = 2          # trend_plotter's "d": hidden layers + 1
+    kan_depth: int = 2          # 3 = two-hidden-layer [2,w,w,2] KDense chain
 
     def mlp_widths(self) -> tuple[int, ...]:
         return (2,) + (self.mlp_hidden,) * (self.mlp_depth - 1) + (2,)
+
+    def kan_widths(self) -> tuple[int, ...]:
+        return (2,) + (self.layer_width,) * (self.kan_depth - 1) + (2,)
 
 
 # KAN sweep matching the reference's param counts:
@@ -67,6 +71,13 @@ MLP_SWEEP = (
     SweepPoint("mlp", mlp_hidden=50),                 # 252
     SweepPoint("mlp", mlp_hidden=100),                # 502
 )
+# beyond-parity depth-3 KAN points ([2,w,w,2], no reference counterpart;
+# params = 6*(2w + w^2) at grid 5 — w=4/5/8 -> 192/270/576)
+KAN3_SWEEP = (
+    SweepPoint("kan", layer_width=4, grid_size=5, kan_depth=3),   # 192
+    SweepPoint("kan", layer_width=5, grid_size=5, kan_depth=3),   # 270
+    SweepPoint("kan", layer_width=8, grid_size=5, kan_depth=3),   # 576
+)
 MLP3_SWEEP = (
     SweepPoint("mlp", mlp_hidden=3, mlp_depth=3),     # 29
     SweepPoint("mlp", mlp_hidden=5, mlp_depth=3),     # 57
@@ -82,13 +93,28 @@ def train_point(point: SweepPoint, *, shooting_iters: int = 10_000,
     """Train one sweep point with the fast curriculum; returns the
     trajectory-protocol train/test losses (the quantities trend_plotter
     records)."""
-    impl = "fused" if point.model == "kan" else "xla"
+    # fused whole-RK-step kernels cover the canonical 2-layer chain;
+    # deeper KAN chains (kan_depth=3 beyond-parity points) run the XLA
+    # path like the MLPs
+    impl = ("fused" if point.model == "kan" and point.kan_depth == 2
+            else "xla")
     base = lv_mod.LVConfig(model=point.model,
+                           seed=seed,
                            layer_width=point.layer_width,
+                           kan_widths=(point.kan_widths()
+                                       if point.kan_depth != 2 else None),
                            grid_size=point.grid_size,
                            mlp_widths=point.mlp_widths(),
                            impl=impl,
-                           init_scale=1e-5 if point.model == "kan" else 1.0)
+                           # depth-3 chains: the reference's glorot/1e5
+                           # init vanishes through the third layer (the
+                           # whole chain output is ~1e-5 so layer-2/3
+                           # inputs collapse to basis(0)); measured
+                           # probe: 1e-2 trains to 9.5e-7 in 3k iters
+                           # where 1e-5 is stuck at 5.1
+                           init_scale=(1.0 if point.model != "kan"
+                                       else 1e-5 if point.kan_depth == 2
+                                       else 1e-2))
     data = lv_mod.make_data(base)
     model = lv_mod.make_model(base)
     params = lv_mod.init_params(base, model)
@@ -127,7 +153,8 @@ def train_point(point: SweepPoint, *, shooting_iters: int = 10_000,
     loss_fn, eval_fn, _ = lv_mod.make_ode_fns(eval_cfg, model, data)
     return {
         "model": point.model,
-        "depth": point.mlp_depth if point.model == "mlp" else 2,
+        "depth": (point.mlp_depth if point.model == "mlp"
+                  else point.kan_depth),
         "n_params": n_params,
         "train_loss": float(loss_fn(params)),
         "test_loss": float(eval_fn(params)),

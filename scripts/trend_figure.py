@@ -3,9 +3,11 @@ artifacts (reference: `trend_plotter.py:7-35`).
 
 Series:
   * KAN-ODE d=2   — `sweep_results.json` (full-fidelity sweep points)
+  * KAN-ODE d=3   — `sweep_results.json` (beyond-parity [2,w,w,2] rows,
+                    `scripts/kan3_trend.py`; no reference counterpart)
   * MLP-NODE d=2  — `artifacts/mlp_full_budget.json` (full 1e5-iter runs)
   * MLP-NODE d=3  — `artifacts/mlp3_full_budget.json` (full 1e5-iter runs)
-plus the reference's published points for all three series.
+plus the reference's published points for the three reference series.
 
 Pure-host work (matplotlib + json); no TPU needed.
 """
@@ -26,7 +28,7 @@ results = []
 with open("sweep_results.json") as f:
     for r in json.load(f):
         if r["model"] == "kan":
-            results.append({"model": "kan", "depth": 2,
+            results.append({"model": "kan", "depth": r.get("depth", 2),
                             "n_params": r["n_params"],
                             "train_loss": r["train_loss"]})
 

@@ -97,6 +97,18 @@ def test_lv_mlp_baseline_trains():
     assert np.isfinite(h).all() and h[-1] < h[0]
 
 
+def test_lv_deep_kan_chain_trains():
+    """kan_widths builds a depth-3 [2,w,w,2] KDense chain (the
+    beyond-parity Fig-3C KAN3 trend points) and trains on the XLA path."""
+    cfg = LVConfig(kan_widths=(2, 4, 4, 2), iters=300, eval_every=300)
+    model = make_model(cfg)
+    assert len(model.layers) == 3
+    assert model.num_params() == 6 * (2 * 4 + 4 * 4 + 4 * 2)
+    out = run(cfg)
+    h = np.asarray(out["loss_history"])
+    assert np.isfinite(h).all() and h[-1] < h[0]
+
+
 def test_lv_adaptive_mode_runs():
     cfg = LVConfig(iters=30, eval_every=30, solve_mode="adaptive",
                    max_steps=128)
