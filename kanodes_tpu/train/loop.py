@@ -211,14 +211,19 @@ def train(loss_fn: Callable[[Any], Array],
         def step(carry, _):
             params, opt_state, best_loss, best_params = carry
             loss, grads = vg(params)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
             if track_best:
+                # record the PRE-update params the loss was measured at;
+                # storing the post-update params pairs best_loss with a
+                # point one Adam step past it (measured 3x off at the
+                # f32 floor: 4.15e-13 recorded vs 1.2e-12 re-measured on
+                # the 2-D AC surrogate before this fix)
                 better = loss < best_loss
                 best_loss = jnp.where(better, loss, best_loss)
                 best_params = jax.tree_util.tree_map(
                     lambda new, old: jnp.where(better, new, old),
                     params, best_params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
             return (params, opt_state, best_loss, best_params), loss
 
         def outer(carry, _):

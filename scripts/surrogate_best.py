@@ -62,10 +62,14 @@ PHASES_BY_PROBLEM = {
                    ("fixed", 3e-4, 20_000)],
     "burgers": [("shooting", 1e-2, 10_000),
                 ("fixed", 1e-3, 10_000)],
+    "allen_cahn_2d": [("shooting", 3e-3, 50_000),
+                      ("shooting", 3e-4, 30_000),
+                      ("fixed", 1e-4, 20_000)],
 }
 SOLVER_BY_PROBLEM = {"schrodinger": ("rk4", 24),
                      "allen_cahn": ("rk4", 24),
-                     "burgers": ("tsit5", 20)}
+                     "burgers": ("tsit5", 20),
+                     "allen_cahn_2d": ("rk4", 24)}
 
 
 def run(problem: str, polish_iters: int = 150) -> dict:

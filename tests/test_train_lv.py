@@ -27,6 +27,23 @@ def test_train_loop_quadratic_converges():
     assert float(out["best_loss"]) <= float(out["loss_history"][0])
 
 
+def test_train_best_params_match_best_loss():
+    """best_params must be the exact point best_loss was measured at —
+    not one optimizer step past it (regression: at the f32 floor one
+    Adam step moves the loss 3x, measured on the 2-D AC surrogate)."""
+    target = jnp.asarray([1.0, -2.0, 0.5])
+
+    def loss(p):
+        return jnp.sum((p - target) ** 2)
+
+    # large lr so the iterates oscillate around the minimum: the argmin
+    # is then interior and the off-by-one would be visible
+    out = train(loss, jnp.zeros(3), TrainConfig(lr=0.4, iters=200,
+                                                eval_every=50))
+    assert float(loss(out["best_params"])) == float(out["best_loss"])
+    assert float(out["best_loss"]) == float(jnp.min(out["loss_history"]))
+
+
 def test_train_compile_only_executes_nothing():
     """compile_only (the scripts/prewarm_aot.py hook) must return real
     shapes and untouched params without running a single step."""
