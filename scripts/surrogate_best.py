@@ -72,7 +72,12 @@ SOLVER_BY_PROBLEM = {"schrodinger": ("rk4", 24),
                      "allen_cahn_2d": ("rk4", 24)}
 
 
-def run(problem: str, polish_iters: int = 150) -> dict:
+def run(problem: str, polish_iters: int = 150,
+        fast: bool = False) -> dict:
+    """fast=True drops the 20k-iteration Adam trajectory phase — the
+    capture runs measured it never produces the best iterate, so the
+    fast recipe is shooting phases + capture + polish only (the
+    headline time-to-stationary-record number)."""
     solver, substeps = SOLVER_BY_PROBLEM[problem]
     base = SurrogateConfig(problem=problem, impl="fused",
                            rk_solver=solver, substeps=substeps,
@@ -88,7 +93,10 @@ def run(problem: str, polish_iters: int = 150) -> dict:
     opt_state, prev_mode = None, None
     best = {"metric": float("inf"), "params": params, "where": "init"}
     t0 = time.time()
-    for pi, (mode, lr, iters) in enumerate(PHASES_BY_PROBLEM[problem]):
+    phases = PHASES_BY_PROBLEM[problem]
+    if fast:
+        phases = [p for p in phases if p[0] == "shooting"]
+    for pi, (mode, lr, iters) in enumerate(phases):
         train_loss, eval_loss, _ = fns[mode]
         if opt_state is not None and mode == prev_mode:
             opt_state = opt_state._replace(hyperparams={
@@ -131,19 +139,22 @@ def run(problem: str, polish_iters: int = 150) -> dict:
     polish_secs = time.time() - t1
 
     def _save(tag, p):
-        path = f"artifacts/{problem}_best_{tag}_params.npy"
+        stem = f"{problem}_fast" if fast else f"{problem}_best"
+        path = f"artifacts/{stem}_{tag}_params.npy"
         arr = np.empty((), dtype=object)
         arr[()] = jax.tree_util.tree_map(np.asarray, p)
         np.save(path, arr, allow_pickle=True)
         return path
 
     rec = {"problem": problem,
+           "recipe": "fast(shooting+polish)" if fast else "full",
            "best_snapshot_mse": best["metric"],
            "best_where": best["where"],
            "best_remeasured": best_re,
            "polished_snapshot_mse": float(pol["best_loss"]),
            "train_seconds": round(train_secs, 1),
            "polish_seconds": round(polish_secs, 1),
+           "end_to_end_seconds": round(train_secs + polish_secs, 1),
            "best_params": _save("eval", best["params"]),
            "polished_params": _save("polished", pol["params"])}
     print(json.dumps(rec), flush=True)
@@ -151,14 +162,18 @@ def run(problem: str, polish_iters: int = 150) -> dict:
 
 
 def main():
-    problems = sys.argv[1:] or ["schrodinger", "allen_cahn", "burgers"]
-    out_path = "artifacts/surrogate_best.json"
+    args = sys.argv[1:]
+    fast = "--fast" in args
+    problems = [a for a in args if not a.startswith("--")] \
+        or ["schrodinger", "allen_cahn", "burgers"]
+    out_path = ("artifacts/surrogate_fast.json" if fast
+                else "artifacts/surrogate_best.json")
     results = []
     if os.path.exists(out_path):
         with open(out_path) as f:
             results = json.load(f)
     for p in problems:
-        rec = run(p)
+        rec = run(p, fast=fast)
         results = [r for r in results if r["problem"] != p] + [rec]
         os.makedirs("artifacts", exist_ok=True)
         with open(out_path, "w") as f:
