@@ -433,6 +433,74 @@ def _to_jax(batch: EpochBatch) -> dict:
     }
 
 
+def validation_selection(cfg: PINNConfig, geo: G.Geometry, mat: L.Material,
+                         model: KANPINN, params, pde_w: float = 1.0) -> float:
+    """Recompute the physics-aware model-selection value
+    (StrainLimiting_KAN_PINN.py:1754-1766) on the SAME fixed validation
+    batch `train()` used: the val batch is the first draw from
+    default_rng(cfg.seed), so it is reconstructible from the config
+    alone. Lets post-hoc params (e.g. an L-BFGS polish) be scored on
+    the exact metric that picked `best_params` during training."""
+    rng = np.random.default_rng(cfg.seed)
+    vb = _to_jax(sample_epoch_batch(cfg, geo, rng, val=True))
+    opt = optax.inject_hyperparams(
+        lambda learning_rate: optax.adam(learning_rate))(learning_rate=0.0)
+    _, _, eval_losses, _ = make_step(cfg, model, geo, mat, opt)
+    v_lpde, v_lbc, v_lg, v_lsym = eval_losses(
+        params, vb["interior"], vb["tip_pts"], vb["bdata"],
+        vb["btargets"], vb["sym_a"], vb["sym_b"])
+    return (max(pde_w, 0.25) * float(v_lpde) + cfg.lambda_bc * float(v_lbc)
+            + cfg.lambda_gauge * float(v_lg) + cfg.lambda_sym * float(v_lsym))
+
+
+def polish_pinn(out: dict, iters: int = 100, seed_offset: int = 777,
+                linesearch_steps: int = 15, n_batches: int = 1) -> dict:
+    """L-BFGS-polish trained PINN params on a FROZEN collocation set.
+
+    Training selects `best_params` by a validation metric, but Adam at
+    small lr still wanders near its floor (the same effect the
+    surrogate best-capture pipeline measured — see train/polish.py).
+    The PINN loss resamples collocation points every epoch, so a
+    curvature-aware polish needs a fixed objective: this freezes
+    `n_batches` val-sized stratified batches drawn from an rng stream
+    the training never touched (cfg.seed + seed_offset) and minimizes
+    their mean composite loss at final curriculum weight (pde_w = 1) —
+    the same objective `make_step.total_loss` trains, including the
+    tip-stress and tip-ratio hinge terms that drive the acceptance
+    gates (eval_pass_fail.py:33-38). n_batches > 1 reduces the
+    frozen-sample variance (the stochastic-objective analogue of the
+    surrogates' deterministic polish).
+
+    Returns {params, best_loss, loss_history} from train.polish.polish;
+    params are best-so-far, never worse than the input on this frozen
+    objective.
+    """
+    from kanodes_tpu.train.polish import PolishConfig, polish
+
+    cfg, geo, mat = out["cfg"], out["geo"], out["mat"]
+    model = out["model"]
+    opt = optax.inject_hyperparams(
+        lambda learning_rate: optax.adam(learning_rate))(learning_rate=0.0)
+    _, _, _, total_loss = make_step(cfg, model, geo, mat, opt)
+    rng = np.random.default_rng(cfg.seed + seed_offset)
+    batches = [_to_jax(sample_epoch_batch(cfg, geo, rng, val=True))
+               for _ in range(n_batches)]
+    pde_w = jnp.asarray(1.0, jnp.float32)
+
+    def loss_fn(params):
+        acc = 0.0
+        for b in batches:
+            loss, _ = total_loss(params, b["interior"], b["tip_pts"],
+                                 b["bdata"], b["btargets"], b["sym_a"],
+                                 b["sym_b"], pde_w)
+            acc = acc + loss
+        return acc / len(batches)
+
+    return polish(loss_fn, out["best_params"],
+                  PolishConfig(iters=iters,
+                               linesearch_steps=linesearch_steps))
+
+
 # ---------------------------------------------------------------------------
 # cross-verification diagnostics (run_cross_verification,
 # StrainLimiting_KAN_PINN.py:1249-1313; .jl:394-407)

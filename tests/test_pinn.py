@@ -176,6 +176,25 @@ class TestTraining:
         out = train(cfg)
         assert np.isfinite(out["history"]["loss"]).all()
 
+    def test_polish_never_worse_on_frozen_objective(self, tiny_cfg):
+        from kanodes_tpu.pinn.train import polish_pinn, validation_selection
+        out = train(tiny_cfg)
+        pol = polish_pinn(out, iters=8, linesearch_steps=8)
+        # polish guarantees best-so-far on ITS frozen objective: the
+        # returned best_loss must not exceed the history's first value
+        # (the starting point's loss)
+        hist = np.asarray(pol["loss_history"])
+        assert np.isfinite(hist).all()
+        assert float(pol["best_loss"]) <= float(hist[0]) + 1e-6
+        # the reconstructed selection metric matches train()'s best
+        # within float noise when evaluated on best_params
+        w = pde_weight_schedule(out["cfg"], out["best_epoch"])
+        sel = validation_selection(out["cfg"], out["geo"], out["mat"],
+                                   out["model"], out["best_params"],
+                                   pde_w=w)
+        assert np.isfinite(sel)
+        assert sel == pytest.approx(out["best_val"], rel=1e-4)
+
     def test_gates(self, tiny_cfg):
         from kanodes_tpu.diag.gates import evaluate, report, GateThresholds
         out = train(tiny_cfg)
