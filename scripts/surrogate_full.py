@@ -14,6 +14,13 @@ first a compile-cache hit; optimizer state is carried across same-mode
 phases (a fresh Adam restart shocks a converged minimum).
 
 Resumable at phase granularity via artifacts/<problem>_full.json.
+
+Best-capture is the DEFAULT artifact path (round-3 finding): each
+phase trains with record_history=True and the saved *_best_params.npy
+is the argmin-eval SNAPSHOT across phases (select_from_history), not
+an end-of-phase wander point; end params are still saved separately
+for phase-resume continuity. For the polished stationary records use
+scripts/surrogate_best.py (adds the L-BFGS polish).
 """
 
 import json
@@ -41,6 +48,7 @@ import numpy as np
 from kanodes_tpu.experiments.pde_surrogate import (SurrogateConfig,
                                                    make_data, make_model,
                                                    make_fns)
+from kanodes_tpu.train.checkpoint import select_from_history
 from kanodes_tpu.train.loop import TrainConfig, train
 
 OUT = f"artifacts/{PROBLEM}_full{_TAG}.json"
@@ -119,21 +127,30 @@ for pi, (mode, lr, iters) in enumerate(PHASES):
     print(f"[{PROBLEM}] phase {pi}: {mode} lr={lr} iters={iters}", flush=True)
     t0 = time.time()
     out = train(train_loss, params, tc, eval_fn=eval_loss,
-                opt_state=opt_state)
+                opt_state=opt_state, record_history=True)
     jax.block_until_ready(out["loss_history"])
     dt = time.time() - t0
     params = out["params"]
     opt_state = out["opt_state"]
     prev_mode = mode
     snap_mse = float(out["eval_history"][-1])
-    # global best across phases, by the SNAPSHOT metric
     snap_best = float(jnp.min(out["eval_history"]))
-    if snap_mse < best["snapshot_mse"]:
-        best = {"snapshot_mse": snap_mse, "params": params}
+    # global best across phases: CAPTURE the argmin-eval snapshot, not
+    # an end-of-phase wander point (at the f32 floor Adam wanders a
+    # converged minimum by ~lr; the end params of a full run measured
+    # 1000x worse than the best eval — EXPERIMENTS.md best-capture
+    # section, LV_driver_KANODE.jl:252-272 p_list parity)
+    cand, cap_idx, cap_metric = select_from_history(out["param_history"],
+                                                    out["eval_history"])
+    if float(cap_metric) < best["snapshot_mse"]:
+        best = {"snapshot_mse": float(cap_metric), "params": cand,
+                "where": f"phase{pi}:eval{int(cap_idx)}"}
     rec = {"phase": pi, "mode": mode, "lr": lr, "iters": iters,
            "wall_s": round(dt, 1), "it_per_s": round(iters / dt, 1),
            "train_loss": float(out["loss_history"][-1]),
-           "snapshot_mse": snap_mse, "snapshot_mse_best": snap_best}
+           "snapshot_mse": snap_mse, "snapshot_mse_best": snap_best,
+           "captured": {"metric": float(cap_metric),
+                        "eval_idx": int(cap_idx)}}
     print(json.dumps(rec), flush=True)
     state["history"].append(rec)
     state["phases_done"] = pi + 1
@@ -148,12 +165,15 @@ state["total_iters"] = sum(p[2] for p in PHASES)
 state["best_snapshot_mse"] = min(
     [h.get("snapshot_mse_best", h["snapshot_mse"])
      for h in state["history"]] + [float("inf")])
-with open(OUT, "w") as f:
-    json.dump(state, f, indent=1)
 if best["params"] is not None:
+    state["captured_best"] = {"metric": best["snapshot_mse"],
+                              "where": best.get("where", "?"),
+                              "path": BEST_NPY}
     arr = np.empty((), dtype=object)
     arr[()] = jax.tree_util.tree_map(np.asarray, best["params"])
     np.save(BEST_NPY, arr, allow_pickle=True)
+with open(OUT, "w") as f:
+    json.dump(state, f, indent=1)
 print(json.dumps({"final_snapshot_mse": state["history"][-1]["snapshot_mse"],
                   "best_snapshot_mse": state["best_snapshot_mse"],
                   "total_iters": state["total_iters"]}))
