@@ -31,6 +31,9 @@ MODULE_COMMANDS: dict[str, tuple[str, str]] = {
                "allen_cahn (1-D/2-D)"),
     "sweep": ("kanodes_tpu.experiments.sweep",
               "param-efficiency trend sweep / ensemble seed training"),
+    "pinn": ("kanodes_tpu.pinn.train",
+             "strain-limiting V-notch KAN-PINN (--julia preset, "
+             "--checkpoint[=dir], --resume, --out=diag.json)"),
 }
 
 # command -> (import path, attr, one-line help); called as main(rest)

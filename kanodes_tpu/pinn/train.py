@@ -555,3 +555,53 @@ def cross_verification(out: dict, n_grid: int = 101) -> dict:
         "boundary_mse": berr,
         "best_val": float(out["best_val"]),
     }
+
+
+if __name__ == "__main__":
+    # CLI parity with the reference's `python StrainLimiting_KAN_PINN.py`
+    # entry (:2004-2126): full two-stage training, cross-verification,
+    # gate report, diagnostics JSON. Config via KANODE_PINN_* env vars
+    # and --key=value args (e.g. --adam_epochs=2000); --julia selects
+    # the Julia-flavor preset, --checkpoint[=dir] + --resume enable
+    # checkpointing, --out=path writes the diagnostics JSON.
+    import json as _json
+    import sys as _sys
+    import time as _time
+
+    from kanodes_tpu.diag.gates import evaluate as _gate_eval
+    from kanodes_tpu.diag.gates import report as _gate_report
+    from kanodes_tpu.train.config import override_from_args, \
+        override_from_env
+
+    _argv = _sys.argv[1:]
+    cfg = PINNConfig.julia_small() if "--julia" in _argv else PINNConfig()
+    cfg = override_from_env(cfg, "KANODE_PINN_")
+    cfg = override_from_args(cfg, [a for a in _argv
+                                   if a.split("=")[0][2:].replace("-", "_")
+                                   in {f.name for f in
+                                       dataclasses.fields(PINNConfig)}])
+    ckpt_dir = None
+    for a in _argv:
+        if a == "--checkpoint":
+            ckpt_dir = "checkpoints/pinn"
+        elif a.startswith("--checkpoint="):
+            ckpt_dir = a.split("=", 1)[1]
+    out_path = next((a.split("=", 1)[1] for a in _argv
+                     if a.startswith("--out=")), None)
+
+    _t0 = _time.time()
+    out = train(cfg, checkpoint_dir=ckpt_dir,
+                resume="--resume" in _argv, verbose=True)
+    _dt = _time.time() - _t0
+    diag = cross_verification(out)
+    res = _gate_eval(diag)
+    print(_gate_report(res))
+    epochs = cfg.adam_epochs + cfg.finetune_epochs
+    print(f"best val {out['best_val']:.4g}  "
+          f"({epochs} epochs in {_dt:.1f}s, {epochs / _dt:.1f} ep/s)")
+    if out_path:
+        with open(out_path, "w") as f:
+            _json.dump({**diag, "wall_s": round(_dt, 1),
+                        "all_gates_pass": bool(res["passed"])},
+                       f, indent=1, default=float)
+        print(f"wrote {out_path}")
