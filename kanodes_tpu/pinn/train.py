@@ -88,6 +88,12 @@ class PINNConfig:
     # cadence (:126-131)
     validation_every: int = 10
     checkpoint_every: int = 0          # 0 = off
+    # data parallelism: shard every collocation/boundary batch axis over
+    # a dp-device mesh (params replicated, XLA inserts the psums for the
+    # mean reductions and the gather for the adaptive top-k). 0/1 = off.
+    # The reference has no distributed story (SURVEY.md §2.9); this is
+    # the TPU-native scale-out for residual batches too big for one chip.
+    dp: int = 0
     early_stop_patience: int = 99999
     min_improve: float = 1e-5
     seed: int = 42
@@ -335,6 +341,34 @@ def train(cfg: PINNConfig | None = None, geo: G.Geometry | None = None,
     val_batch = sample_epoch_batch(cfg, geo, rng, val=True)
     vb = _to_jax(val_batch)
 
+    # optional dp sharding: batch axes sharded, params/opt replicated;
+    # block_step's math is untouched — jit/GSPMD partitions the program
+    # and inserts the cross-device reductions (sharding-independent
+    # semantics, so gradients are the exact full-batch values)
+    shard_blocks = None
+    if cfg.dp > 1:
+        from jax.sharding import Mesh, NamedSharding
+        from jax.sharding import PartitionSpec as _P
+        devs = jax.devices()
+        if len(devs) < cfg.dp:
+            raise ValueError(f"dp={cfg.dp} needs {cfg.dp} devices, "
+                             f"have {len(devs)}")
+        mesh = Mesh(np.asarray(devs[:cfg.dp]), ("dp",))
+        data_s = NamedSharding(mesh, _P(None, "dp"))   # [epoch, batch,...]
+        repl = NamedSharding(mesh, _P())
+
+        def _shard_leaf(x):
+            # batch axis is axis 1 (axis 0 = epoch); tiny/empty leaves
+            # (e.g. a disabled tip-point or candidate set) replicate
+            ok = x.ndim >= 2 and x.shape[1] >= cfg.dp
+            return jax.device_put(x, data_s if ok else repl)
+
+        shard_blocks = lambda blocks: jax.tree_util.tree_map(
+            _shard_leaf, blocks)
+        params = jax.device_put(params, repl)
+        opt_state = jax.device_put(opt_state, repl)
+        vb = jax.device_put(vb, repl)
+
     ckptr = None
     start_epoch = 0
     if checkpoint_dir:
@@ -364,6 +398,8 @@ def train(cfg: PINNConfig | None = None, geo: G.Geometry | None = None,
                    for _ in epochs]
         blocks = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *[_to_jax(b) for b in batches])
+        if shard_blocks is not None:
+            blocks = shard_blocks(blocks)
         pde_ws = jnp.asarray([pde_weight_schedule(cfg, e) for e in epochs],
                              jnp.float32)
         lrs = jnp.asarray([cfg.learning_rate if e < cfg.adam_epochs

@@ -297,3 +297,52 @@ def test_checkpoint_driven_gate_cli(tmp_path):
     # the CLI returns 0/1 per the gate outcome and prints the report
     rc = gates.main(["--checkpoint", ckdir])
     assert rc == (0 if res["passed"] else 1)
+
+
+def test_dp_sharded_training_matches_single_device():
+    """PINNConfig(dp=8): collocation/boundary batch axes sharded over the
+    8-device mesh, params replicated. jit/GSPMD semantics are
+    sharding-independent, so per-epoch losses and final params must match
+    the unsharded run (identical seeded batches) to f32
+    reduction-reorder tolerance."""
+    import numpy as np
+    base = dict(widths=(2, 10, 1), n_basis=6, adam_epochs=6,
+                finetune_epochs=0, pretrain_epochs=2, pde_ramp_epochs=2,
+                n_interior_uniform=32, n_interior_refine=16,
+                n_interior_tip_strip=32, n_interior_tip_annulus=16,
+                n_boundary_each=16, val_n_interior_uniform=32,
+                val_n_interior_refine=16, val_n_interior_tip_strip=32,
+                val_n_interior_tip_annulus=16, val_n_boundary_each=16,
+                validation_every=3)
+    out0 = train(PINNConfig(**base))
+    out8 = train(PINNConfig(**base, dp=8))
+    l0 = np.asarray(out0["history"]["loss"])
+    l8 = np.asarray(out8["history"]["loss"])
+    np.testing.assert_allclose(l8, l0, rtol=2e-4, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(out0["params"]),
+                    jax.tree_util.tree_leaves(out8["params"])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-6)
+
+
+def test_dp_sharded_adaptive_topk_trains():
+    """dp sharding composes with the in-scan adaptive top-k resampling
+    (global top-k over a SHARDED candidate pool — GSPMD inserts the
+    gather). Strict loss parity is not asserted here: f32 residuals can
+    differ in the last ulp between partitionings, which may flip
+    near-tied top-k picks; the run must stay finite and descend."""
+    import numpy as np
+    tiny = PINNConfig(widths=(2, 10, 1), n_basis=6, adam_epochs=8,
+                      finetune_epochs=0, pretrain_epochs=2,
+                      pde_ramp_epochs=2, n_interior_uniform=32,
+                      n_interior_refine=16, n_interior_tip_strip=32,
+                      n_interior_tip_annulus=16, n_boundary_each=16,
+                      val_n_interior_uniform=32, val_n_interior_refine=16,
+                      val_n_interior_tip_strip=32,
+                      val_n_interior_tip_annulus=16,
+                      val_n_boundary_each=16, n_adaptive=8,
+                      adaptive_candidates=64, validation_every=4, dp=8)
+    out = train(tiny)
+    h = np.asarray(out["history"]["loss"])
+    assert np.isfinite(h).all()
+    assert h[-1] < h[0]
