@@ -299,6 +299,7 @@ def test_checkpoint_driven_gate_cli(tmp_path):
     assert rc == (0 if res["passed"] else 1)
 
 
+@pytest.mark.slow
 def test_dp_sharded_training_matches_single_device():
     """PINNConfig(dp=8): collocation/boundary batch axes sharded over the
     8-device mesh, params replicated. jit/GSPMD semantics are
@@ -325,6 +326,7 @@ def test_dp_sharded_training_matches_single_device():
                                    rtol=5e-4, atol=5e-6)
 
 
+@pytest.mark.slow
 def test_dp_sharded_adaptive_topk_trains():
     """dp sharding composes with the in-scan adaptive top-k resampling
     (global top-k over a SHARDED candidate pool — GSPMD inserts the
