@@ -75,6 +75,15 @@ def _where_tree(pred, a, b):
     return _tmap(lambda ai, bi: jnp.where(pred, ai, bi), a, b)
 
 
+def _vdot_tree(a, b):
+    """sum_leaves <a, b> — scalar dot product over matching pytrees."""
+    tot = 0.0
+    for x, y in zip(jax.tree_util.tree_leaves(a),
+                    jax.tree_util.tree_leaves(b)):
+        tot = tot + jnp.sum(x * y)
+    return tot
+
+
 def error_norm(err, y0, y1, rtol, atol) -> Array:
     """Hairer mixed-tolerance RMS norm of the local error estimate."""
     sq = 0.0
@@ -418,10 +427,15 @@ def odeint(f: Callable, y0, ts: Array, args=None, *,
     Default tolerances mirror the reference's OrdinaryDiffEq defaults
     (reltol 1e-3 / abstol 1e-6).
 
-    Gradient caveat: only adjoint="direct"/"direct_remat" differentiate
-    w.r.t. the save times `ts`; "backsolve" and "interpolating" return a
-    hard-zero `ts` cotangent (the boundary terms g_i . f(t_i, y_i) are
-    not computed). All adjoints differentiate y0 and args.
+    Gradient notes: all differentiable adjoints propagate cotangents to
+    y0, args AND the save times `ts`. "direct"/"direct_remat" get ts
+    gradients by exact reverse AD through the save-clipped stepper;
+    "backsolve" and "interpolating" compute the continuous boundary
+    terms dL/dt_i = g_i . f(t_i, y_i) (i >= 1) and
+    dL/dt_0 = -a(t_0) . f(t_0, y_0) — torchdiffeq's time_vjps
+    (predator_prey_adjoint.py:5,142). The only hard-zero ts rows are
+    unreached-save fills (max_steps exhausted), which are error-handling
+    constants.
     """
     tab = get_tableau(solver)
     if tab.b_err is None:
@@ -469,8 +483,20 @@ def odeint(f: Callable, y0, ts: Array, args=None, *,
     return st["ys"]
 
 
-def odeint_adjoint(f, y0, ts, args=None, **kw):
-    """torchdiffeq `odeint_adjoint` equivalent (continuous backsolve)."""
+def odeint_adjoint(f, y0, ts, args=None, adjoint_params=None, **kw):
+    """torchdiffeq `odeint_adjoint` equivalent (continuous backsolve).
+
+    `adjoint_params` mirrors torchdiffeq's parameter-subset selection
+    (`predator_prey_adjoint.py:132-142`): a pytree of bools matching
+    `args` (prefix trees work — a single False kills everything). Leaves
+    marked False are excluded from the backward solve via stop_gradient,
+    so their cotangents come back zero and the augmented adjoint system
+    stays correspondingly smaller after DCE.
+    """
+    if adjoint_params is not None:
+        args = _tmap(
+            lambda keep, a: a if keep else lax.stop_gradient(a),
+            adjoint_params, args)
     kw["adjoint"] = "backsolve"
     return odeint(f, y0, ts, args, **kw)
 
@@ -585,8 +611,12 @@ def _interp_bwd(f, tab, rtol, atol, max_steps, ctrl, bwd_substeps, dt0,
 
         # inject the cotangent of the save point hit at this step's end
         g = _tmap(lambda b: b[jnp.maximum(sidx, 0)], ys_bar)
-        a_y_in = _where_tree(valid & (sidx >= 0), _tmap(jnp.add, a_y, g),
-                             a_y)
+        has_save = valid & (sidx >= 0)
+        a_y_in = _where_tree(has_save, _tmap(jnp.add, a_y, g), a_y)
+        # save-time boundary term dL/dt_i = g_i . f(t_i, y_i): the
+        # save-clipped forward ends accepted steps exactly on save times,
+        # so the recorded f1 = f(t1, y1) IS f(t_i, y_i)
+        t_bar = jnp.where(has_save, _vdot_tree(g, f1), 0.0)
 
         def aug_dyn(t, a, _):
             ay, _aargs = a
@@ -605,7 +635,8 @@ def _interp_bwd(f, tab, rtol, atol, max_steps, ctrl, bwd_substeps, dt0,
         for k in range(bwd_substeps):
             a, _, _ = rk_step(tab, aug_dyn, t1 + k * h, a, h, None)
         return (_where_tree(valid, a[0], a_y_in),
-                _where_tree(valid, a[1], a_args)), None
+                _where_tree(valid, a[1], a_args)), \
+            (jnp.maximum(sidx, 0), t_bar)
 
     T = ts.shape[0]
     unreached = jnp.arange(T) >= save_idx
@@ -617,10 +648,20 @@ def _interp_bwd(f, tab, rtol, atol, max_steps, ctrl, bwd_substeps, dt0,
     a_args0 = _zeros_like(args)
     # reverse order over the n_acc recorded steps (masked tail)
     idxs = n_acc - 1 - jnp.arange(max_steps)
-    (a_y, a_args), _ = lax.scan(seg, (a_y0, a_args0), idxs)
+    (a_y, a_args), (sidxs, t_bars) = lax.scan(seg, (a_y0, a_args0), idxs)
+    # masked slots wrote (0, 0.0) pairs — scatter-adds of zero are no-ops
+    ts_bar = jnp.zeros_like(ts).at[sidxs].add(t_bars.astype(ts.dtype))
+    # initial-time term dL/dt_0 = -a(t_0) . f(t_0, y_0) with the adjoint
+    # BEFORE the g_0 injection; rec["f0"][0] is f(ts[0], y0) whenever at
+    # least one step was accepted (guarded otherwise). Unreached-fill
+    # rows keep a hard-zero ts cotangent (the fill value is the solve's
+    # final state, an error-handling constant w.r.t. save times).
+    f0_first = _tmap(lambda b: b[0], rec["f0"])
+    t0_bar = jnp.where(n_acc > 0, -_vdot_tree(a_y, f0_first), 0.0)
+    ts_bar = ts_bar.at[0].add(t0_bar.astype(ts.dtype))
     g0 = _tmap(lambda b: b[0], ys_bar)
     a_y = _tmap(jnp.add, a_y, g0)
-    return a_y, jnp.zeros_like(ts), a_args
+    return a_y, ts_bar, a_args
 
 
 _odeint_interp.defvjp(_interp_fwd, _interp_bwd)
@@ -669,6 +710,10 @@ def _backsolve_bwd(f, tab, rtol, atol, max_steps, ctrl_dense, res, ys_bar):
         a_y, a_args = carry
         y_i = _tmap(lambda b: b[idx], ys)
         g_i = _tmap(lambda b: b[idx], ys_bar)
+        # save-time boundary term dL/dt_i = g_i . f(t_i, y_i): moving the
+        # measurement time slides the readout along the trajectory
+        # (torchdiffeq's time_vjps, predator_prey_adjoint.py:5,142)
+        t_bar = _vdot_tree(g_i, f(ts[idx], y_i, args))
         a_y = _tmap(jnp.add, a_y, g_i)
         aug0 = (y_i, a_y, a_args)
         seg_ts = jnp.stack([ts[idx], ts[idx - 1]])
@@ -676,15 +721,23 @@ def _backsolve_bwd(f, tab, rtol, atol, max_steps, ctrl_dense, res, ys_bar):
                              rtol, atol, None, max_steps, ctrl)
         aug1 = _tmap(lambda b: b[1], st["ys"])
         _, a_y, a_args = aug1
-        return (a_y, a_args), None
+        return (a_y, a_args), t_bar
 
     a_y0 = _zeros_like(_tmap(lambda b: b[0], ys))
     a_args0 = _zeros_like(args)
-    (a_y, a_args), _ = lax.scan(segment, (a_y0, a_args0),
-                                jnp.arange(T - 1, 0, -1))
+    (a_y, a_args), t_bars = lax.scan(segment, (a_y0, a_args0),
+                                     jnp.arange(T - 1, 0, -1))
+    ts_bar = jnp.zeros_like(ts).at[jnp.arange(T - 1, 0, -1)].set(
+        t_bars.astype(ts.dtype))
+    # initial-time term dL/dt_0 = -a(t_0) . f(t_0, y_0), with the adjoint
+    # BEFORE the g_0 injection (y(t_0) = y_0 identically, so g_0 itself
+    # carries no t_0 sensitivity)
+    y_0 = _tmap(lambda b: b[0], ys)
+    ts_bar = ts_bar.at[0].set(
+        jnp.asarray(-_vdot_tree(a_y, f(ts[0], y_0, args)), ts.dtype))
     g_0 = _tmap(lambda b: b[0], ys_bar)
     a_y = _tmap(jnp.add, a_y, g_0)
-    return a_y, jnp.zeros_like(ts), a_args
+    return a_y, ts_bar, a_args
 
 
 _odeint_backsolve.defvjp(_backsolve_fwd, _backsolve_bwd)

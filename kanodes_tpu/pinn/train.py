@@ -359,8 +359,12 @@ def train(cfg: PINNConfig | None = None, geo: G.Geometry | None = None,
 
         def _shard_leaf(x):
             # batch axis is axis 1 (axis 0 = epoch); tiny/empty leaves
-            # (e.g. a disabled tip-point or candidate set) replicate
-            ok = x.ndim >= 2 and x.shape[1] >= cfg.dp
+            # (e.g. a disabled tip-point or candidate set) and axes the
+            # mesh doesn't divide evenly (e.g. the fixed-size boundary
+            # block on an odd dp) replicate — GSPMD composes mixed
+            # sharded/replicated operands without further ceremony
+            ok = x.ndim >= 2 and x.shape[1] >= cfg.dp \
+                and x.shape[1] % cfg.dp == 0
             return jax.device_put(x, data_s if ok else repl)
 
         shard_blocks = lambda blocks: jax.tree_util.tree_map(

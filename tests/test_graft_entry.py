@@ -67,6 +67,8 @@ def test_dryrun_multichip_driver_sim():
                          capture_output=True, text=True, timeout=600)
     assert res.returncode == 0, res.stderr[-2000:]
     assert "dryrun_multichip ok" in res.stdout
+    # all four sharded driver modes ran (incl. the PINN dp batch mode)
+    assert "PINN trained on dp=8" in res.stdout
 
 
 @pytest.mark.slow

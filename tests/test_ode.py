@@ -420,3 +420,86 @@ def test_interpolating_adjoint_honors_dt0():
     ys_n = odeint(lv_rhs, LV_Y0, ts, LV_ARGS, rtol=1e-7, atol=1e-9,
                   dt0=1e-3, adjoint="none")
     np.testing.assert_array_equal(np.asarray(ys_b), np.asarray(ys_n))
+
+
+# -- save-time (ts) gradients -------------------------------------------------
+
+def _ts_loss(adjoint):
+    def loss(ts):
+        ys = odeint(lv_rhs, LV_Y0, ts, LV_ARGS, rtol=1e-8, atol=1e-10,
+                    max_steps=1024, adjoint=adjoint)
+        return jnp.sum(ys ** 2)
+
+    return loss
+
+
+@pytest.mark.parametrize("adjoint", ["backsolve", "interpolating"])
+def test_gradient_wrt_save_times(adjoint):
+    """ts-cotangents of the custom-VJP adjoints: the continuous boundary
+    terms dL/dt_i = g_i . f(t_i, y_i) (i >= 1) and
+    dL/dt_0 = -a(t_0) . f(t_0, y_0) must match exact reverse AD through
+    the save-clipped direct adjoint (closes the documented hard-zero
+    gap; torchdiffeq time_vjps, predator_prey_adjoint.py:5,142)."""
+    ts = jnp.linspace(0.0, 1.5, 6)
+    g = jax.grad(_ts_loss(adjoint))(ts)
+    g_direct = jax.grad(_ts_loss("direct"))(ts)
+    assert float(jnp.abs(g_direct).max()) > 1e-2  # non-trivial signal
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_direct),
+                               rtol=2e-3, atol=1e-5)
+    # interior entries also match the analytic boundary term computed
+    # from the (tight-tolerance) solution itself: 2 y_i . f(t_i, y_i)
+    ys = odeint(lv_rhs, LV_Y0, ts, LV_ARGS, rtol=1e-8, atol=1e-10,
+                max_steps=1024, adjoint="none")
+    for i in range(1, 6):
+        bt = 2.0 * float(ys[i] @ lv_rhs(ts[i], ys[i], LV_ARGS))
+        np.testing.assert_allclose(float(g[i]), bt, rtol=1e-3)
+
+
+def test_gradient_wrt_t0_finite_difference():
+    """The initial-time term is the delicate one (adjoint BEFORE the g_0
+    injection, negative sign): check it against central differences of
+    the non-differentiated solve."""
+    ts = jnp.linspace(0.2, 1.2, 4)
+    g = jax.grad(_ts_loss("backsolve"))(ts)
+
+    def loss_at_t0(t0):
+        ts_p = ts.at[0].set(t0)
+        ys = odeint(lv_rhs, LV_Y0, ts_p, LV_ARGS, rtol=1e-9, atol=1e-11,
+                    max_steps=2048, adjoint="none")
+        return float(jnp.sum(ys ** 2))
+
+    eps = 1e-3
+    fd = (loss_at_t0(0.2 + eps) - loss_at_t0(0.2 - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(g[0]), fd, rtol=5e-3)
+
+
+def test_odeint_adjoint_params_subset():
+    """torchdiffeq adjoint_params parity (predator_prey_adjoint.py:132-142):
+    leaves masked False get exactly-zero cotangents; kept leaves match
+    the unmasked gradient."""
+    from kanodes_tpu.ode import odeint_adjoint
+    ts = jnp.linspace(0.0, 1.0, 4)
+
+    def rhs(t, y, p):
+        return p["a"] * y + p["b"]
+
+    p0 = {"a": jnp.asarray(-0.5), "b": jnp.asarray(0.3)}
+
+    def make_loss(mask):
+        def loss(p):
+            ys = odeint_adjoint(rhs, jnp.asarray(1.0), ts, p,
+                                rtol=1e-7, atol=1e-9,
+                                adjoint_params=mask)
+            return jnp.sum(ys ** 2)
+
+        return loss
+
+    g_all = jax.grad(make_loss(None))(p0)
+    g_sub = jax.grad(make_loss({"a": True, "b": False}))(p0)
+    assert float(g_sub["b"]) == 0.0
+    assert float(jnp.abs(g_all["b"])) > 1e-3
+    np.testing.assert_allclose(float(g_sub["a"]), float(g_all["a"]),
+                               rtol=1e-5)
+    # a single-leaf False prefix kills the whole args tree
+    g_none = jax.grad(make_loss(False))(p0)
+    assert float(g_none["a"]) == 0.0 and float(g_none["b"]) == 0.0
