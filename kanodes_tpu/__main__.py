@@ -38,6 +38,10 @@ MODULE_COMMANDS: dict[str, tuple[str, str]] = {
 
 # command -> (import path, attr, one-line help); called as main(rest)
 FUNC_COMMANDS: dict[str, tuple[str, str, str]] = {
+    "claims": ("kanodes_tpu.diag.claims", "main",
+               "re-derive every README headline number from its "
+               "committed artifact (--deep reloads the param files; "
+               "exit 0 verified / 1 mismatch)"),
     "gates": ("kanodes_tpu.diag.gates", "main",
               "PINN acceptance gates: <diagnostics.json> | "
               "--checkpoint <dir> (exit 0 PASS / 1 FAIL)"),

@@ -1,0 +1,267 @@
+"""Claims ledger: every headline number re-derived from its artifact.
+
+The README/EXPERIMENTS tables carry ~30 measured numbers. Nothing in
+the reference guards such claims (its numbers live in the paper); here
+every headline claim is registered with (a) the committed artifact that
+evidences it and (b) a derivation from that artifact, and
+``python -m kanodes_tpu claims`` fails when a doc number and its
+artifact disagree — the guard against doc rot.
+
+Two tiers:
+  * shallow (default): reload the artifact JSON and compare the derived
+    value against the registered claim. Pure host work, milliseconds.
+  * --deep: additionally reload the DELIVERABLE param .npy files,
+    rebuild the models and recompute the headline MSEs from scratch
+    (forward solves on whatever backend is present — CPU in tests).
+    This is the "records = params you can reload" doctrine made
+    executable.
+
+Tolerances: claims are stored at the precision the docs print (2-3
+significant digits), so the default rtol is 1 % of the claimed value;
+floor-level recomputations (1e-14 MSEs at f32 eps^2) compare within a
+factor instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Callable
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def _load_json(rel: str):
+    with open(os.path.join(REPO, rel)) as f:
+        return json.load(f)
+
+
+def _load_params(rel: str):
+    return np.load(os.path.join(REPO, rel), allow_pickle=True)[()]
+
+
+def _by(key: str, val: str, rows: list) -> dict:
+    for r in rows:
+        if r.get(key) == val:
+            return r
+    raise KeyError(f"no row with {key}={val!r}")
+
+
+@dataclasses.dataclass(frozen=True)
+class Claim:
+    name: str
+    doc: str                       # where the number is stated
+    artifact: str
+    claimed: Any
+    derive: Callable[[Any], Any]   # loaded artifact -> derived value
+    rtol: float = 1e-2
+    deep: bool = False             # needs param reload + recompute
+
+
+def _cmp(claimed, derived, rtol) -> bool:
+    if isinstance(claimed, str):
+        return claimed == derived
+    if isinstance(claimed, bool):
+        return bool(derived) is claimed
+    return bool(np.isclose(float(derived), float(claimed),
+                           rtol=rtol, atol=0.0))
+
+
+# --------------------------------------------------------------------------
+# deep derivations: reload deliverable params, rebuild, recompute
+# --------------------------------------------------------------------------
+
+def _lv_recompute(basis: str) -> tuple[float, float]:
+    """(train_mse, test_mse) of the committed polished LV params through
+    the plain-XLA forward (kernel-parity-tested against the fused path
+    the record was measured with)."""
+    import dataclasses as dc
+
+    from kanodes_tpu.experiments import lv
+
+    cfg = lv.LVConfig(impl="xla", basis=basis)
+    data = lv.make_data(cfg)
+    model = lv.make_model(cfg)
+    params = _load_params(f"artifacts/lv_{basis}_best_polished_params.npy")
+    train_loss, test_loss, _ = lv.make_ode_fns(
+        dc.replace(cfg, solve_mode="fixed"), model, data)
+    return float(train_loss(params)), float(test_loss(params))
+
+
+def _surrogate_recompute(problem: str) -> float:
+    """Snapshot MSE of the committed polished surrogate params through
+    the plain-XLA forward at the record's solver config."""
+    import dataclasses as dc
+
+    from kanodes_tpu.experiments.pde_surrogate import (SurrogateConfig,
+                                                       make_data,
+                                                       make_fns, make_model)
+
+    solver, substeps = {"burgers": ("tsit5", 20)}.get(problem, ("rk4", 24))
+    cfg = SurrogateConfig(problem=problem, impl="xla", rk_solver=solver,
+                          substeps=substeps, solve_mode="fixed")
+    data = make_data(cfg)
+    model = make_model(cfg, data)
+    params = _load_params(f"artifacts/{problem}_best_polished_params.npy")
+    loss, _, _ = make_fns(cfg, model, data)
+    return float(loss(params))
+
+
+# --------------------------------------------------------------------------
+# the ledger
+# --------------------------------------------------------------------------
+
+def _claims() -> list[Claim]:
+    lv_best = lambda basis, field: (
+        lambda a: _by("basis", basis, a)[field])
+    sur = lambda prob, field: (lambda a: _by("problem", prob, a)[field])
+    return [
+        # ---- LV record (README headline row) --------------------------
+        Claim("lv_rbf_train_mse", "README: LV best train MSE 1.18e-8",
+              "artifacts/lv_best.json", 1.18e-8,
+              lv_best("rbf", "polished_train_mse")),
+        Claim("lv_rbf_test_mse", "README: LV rbf full-horizon test 6.6e-7",
+              "artifacts/lv_best.json", 6.6e-7,
+              lv_best("rbf", "polished_test_mse")),
+        Claim("lv_iqf_train_mse", "README: LV iqf train 3.9e-8",
+              "artifacts/lv_best.json", 3.9e-8,
+              lv_best("iqf", "polished_train_mse"), rtol=2e-2),
+        Claim("lv_iqf_test_mse", "README: LV iqf test 4.6e-7",
+              "artifacts/lv_best.json", 4.6e-7,
+              lv_best("iqf", "polished_test_mse")),
+        Claim("lv_seeds_beat_reference",
+              "README: 8/8 seeds beat the reference loss",
+              "artifacts/lv_seed_robustness.json", 8,
+              lambda a: a["seeds_beating_reference"], rtol=0.0),
+        Claim("lv_seed_median", "README: seed-sweep median best 3.1e-8",
+              "artifacts/lv_seed_robustness.json", 3.1e-8,
+              lambda a: a["best_traj_train_mse"]["median"]),
+        Claim("lv_adaptive_faithful",
+              "README: reference-regime adaptive run 6.6e-7",
+              "artifacts/lv_adaptive_full.json", 6.6e-7,
+              lambda a: a["best_train_mse"]),
+        # ---- MLP baselines (README row; trend_plotter.py anchors) -----
+        Claim("mlp52_best", "README: 52-param MLP 2.2e-5",
+              "artifacts/mlp_full_budget.json", 2.2e-5,
+              lambda a: a["52"]["best_train_mse"], rtol=2e-2),
+        Claim("mlp252_best", "README: 252-param MLP 1.26e-5",
+              "artifacts/mlp_full_budget.json", 1.26e-5,
+              lambda a: a["252"]["best_train_mse"]),
+        Claim("mlp502_best", "README: 502-param MLP 6.5e-6",
+              "artifacts/mlp_full_budget.json", 6.5e-6,
+              lambda a: a["502"]["best_train_mse"]),
+        # ---- surrogate records (README rows) ---------------------------
+        Claim("burgers_record", "README: Burgers 3.81e-14 deliverable",
+              "artifacts/surrogate_best.json", 3.81e-14,
+              sur("burgers", "polished_snapshot_mse")),
+        Claim("allen_cahn_record", "README: Allen-Cahn 3.49e-15",
+              "artifacts/surrogate_best.json", 3.49e-15,
+              sur("allen_cahn", "polished_snapshot_mse")),
+        Claim("schrodinger_record", "README: Schrödinger 6.70e-14",
+              "artifacts/surrogate_best.json", 6.70e-14,
+              sur("schrodinger", "polished_snapshot_mse")),
+        Claim("ac2d_record", "README: 2-D AC surrogate 3.09e-13",
+              "artifacts/surrogate_best.json", 3.09e-13,
+              sur("allen_cahn_2d", "polished_snapshot_mse")),
+        # ---- recovered physics (README rows) ---------------------------
+        Claim("fisher2d_recovered", "README: 2-D Fisher-KPP x - 1.0032x^2",
+              "artifacts/fisher2d_full.json", "-1.0032*x0**2 + x0",
+              lambda a: a["recovered_gp"]),
+        Claim("ac2d_recovered", "README: 2-D AC 5.046x - 5.0727x^3",
+              "artifacts/ac2d_full.json", "-5.0727*x0**3 + 5.046*x0",
+              lambda a: a["recovered_gp"]),
+        # ---- serving + PINN (README rows) -------------------------------
+        Claim("serve_rhs_evals", "README: 130M KAN RHS evals/s",
+              "artifacts/serve_bench.json", 1.30e8,
+              lambda a: max(r["evals_per_s"] for r in a
+                            if r["kind"] == "rhs")),
+        Claim("serve_rollouts", "README: 3.9M rollouts/s",
+              "artifacts/serve_bench.json", 3.9e6,
+              lambda a: max(r["rollouts_per_s"] for r in a
+                            if r["kind"] == "trajectory_fleet")),
+        Claim("pinn_best_val", "README: PINN best val 0.0124",
+              "artifacts/pinn_adaptive_diagnostics.json", 0.0124,
+              lambda a: a["best_val"]),
+        Claim("pinn_gates", "README: all 5 PINN gates pass",
+              "artifacts/pinn_adaptive_diagnostics.json", True,
+              lambda a: a["all_gates_pass"]),
+        # ---- deep: reload deliverable params, recompute the records ----
+        Claim("deep_lv_rbf", "lv_best.json values reproduce from params",
+              "artifacts/lv_best.json",
+              True,
+              lambda a: _deep_lv("rbf", _by("basis", "rbf", a)),
+              deep=True),
+        Claim("deep_lv_iqf", "lv_best.json values reproduce from params",
+              "artifacts/lv_best.json",
+              True,
+              lambda a: _deep_lv("iqf", _by("basis", "iqf", a)),
+              deep=True),
+        Claim("deep_burgers",
+              "surrogate_best.json reproduces from params (within 3x: "
+              "1e-14-class MSEs sit at f32 eps^2, where fused-vs-XLA "
+              "forward rounding is visible)",
+              "artifacts/surrogate_best.json",
+              True,
+              lambda a: _deep_surrogate(
+                  "burgers", _by("problem", "burgers", a)),
+              deep=True),
+    ]
+
+
+def _deep_lv(basis: str, row: dict) -> bool:
+    train, test = _lv_recompute(basis)
+    ok = (np.isclose(train, row["polished_train_mse"], rtol=5e-2)
+          and np.isclose(test, row["polished_test_mse"], rtol=5e-2))
+    if not ok:
+        print(f"  deep_lv_{basis}: recomputed train {train:.3e} "
+              f"test {test:.3e} vs json {row['polished_train_mse']:.3e} "
+              f"/ {row['polished_test_mse']:.3e}")
+    return ok
+
+
+def _deep_surrogate(problem: str, row: dict) -> bool:
+    mse = _surrogate_recompute(problem)
+    ref = row["polished_snapshot_mse"]
+    ok = mse < 3.0 * ref
+    if not ok:
+        print(f"  deep_{problem}: recomputed {mse:.3e} vs json {ref:.3e}")
+    return ok
+
+
+def check(deep: bool = False) -> list[dict]:
+    """Evaluate the ledger; returns one record per claim."""
+    out = []
+    for c in _claims():
+        if c.deep and not deep:
+            continue
+        try:
+            derived = c.derive(_load_json(c.artifact))
+            ok = _cmp(c.claimed, derived, c.rtol)
+        except Exception as e:  # missing artifact == failed claim
+            derived, ok = f"ERROR: {e!r}", False
+        out.append({"name": c.name, "doc": c.doc, "artifact": c.artifact,
+                    "claimed": c.claimed, "derived": derived, "ok": ok})
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    import sys
+    argv = list(sys.argv[1:] if argv is None else argv)
+    deep = "--deep" in argv
+    results = check(deep=deep)
+    bad = [r for r in results if not r["ok"]]
+    for r in results:
+        mark = "ok  " if r["ok"] else "FAIL"
+        print(f"[{mark}] {r['name']}: claimed {r['claimed']} derived "
+              f"{r['derived']}  ({r['artifact']})")
+    print(f"{len(results) - len(bad)}/{len(results)} claims verified"
+          + (" (incl. deep param reloads)" if deep else ""))
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
