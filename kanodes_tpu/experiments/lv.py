@@ -85,7 +85,8 @@ class LVConfig:
     # interpolating | backsolve (ode/integrate.odeint adjoints)
     adjoint: str = "direct"
     # xla: plain jnp RHS | pallas: fused chain-RHS kernel | fused:
-    # whole-RK-step kernels (fastest; fixed/shooting modes only)
+    # whole-RK-step kernels (fixed/shooting) or the whole-adaptive-solve
+    # kernel (adaptive mode) — fastest everywhere
     impl: str = "xla"
     # fused-kernel backward dot precision: "highest" (exact f32) |
     # "bf16" (1-pass MXU dots; forward stays exact f32). See
@@ -184,6 +185,21 @@ def make_ode_fns(cfg: LVConfig, model, data):
             # accepted step per save time, so the bounded scan must grow
             # with the grid (the train grid uses cfg.max_steps as-is)
             ms = max(cfg.max_steps, 2 * int(t_grid.shape[0]))
+            if use_fused:
+                # whole bounded controller loop + its discrete adjoint
+                # as ONE kernel launch each (ops/rk_adaptive_fused);
+                # same save-clipped stepper, same param gradients as
+                # adjoint="direct"
+                from kanodes_tpu.ode.integrate import StepController
+                from kanodes_tpu.ops.rk_adaptive_fused import \
+                    fused_adaptive_odeint
+                from kanodes_tpu.ops.kdense_pallas import fused_params
+                ys = fused_adaptive_odeint(
+                    spec, "tsit5", cfg.rtol, cfg.atol, ms,
+                    StepController(), None, u0[None], t_grid,
+                    *fused_params(params),
+                    None, cfg.bwd_precision)
+                return ys[:, 0, :]
             return odeint(rhs, u0, t_grid, params, solver="tsit5",
                           rtol=cfg.rtol, atol=cfg.atol,
                           max_steps=ms, adjoint=cfg.adjoint)
