@@ -141,9 +141,40 @@ def _claims() -> list[Claim]:
               "artifacts/lv_seed_robustness.json", 3.1e-8,
               lambda a: a["best_traj_train_mse"]["median"]),
         Claim("lv_adaptive_faithful",
-              "README: reference-regime adaptive run 6.6e-7",
+              "README: reference-regime adaptive run (XLA path) 6.6e-7",
               "artifacts/lv_adaptive_full.json", 6.6e-7,
               lambda a: a["best_train_mse"]),
+        Claim("lv_adaptive_fused_mse",
+              "README: fused whole-adaptive-solve best 5.69e-7",
+              "artifacts/lv_adaptive_fused_full.json", 5.69e-7,
+              lambda a: a["best_train_mse"]),
+        Claim("lv_adaptive_fused_wall",
+              "README: fused adaptive full budget in 41.9 s",
+              "artifacts/lv_adaptive_fused_full.json", 41.9,
+              lambda a: a["wall_s"]),
+        # ---- same-day A/B throughput (EXPERIMENTS round-4 table) -------
+        Claim("ab_lv_shooting",
+              "EXPERIMENTS: LV shooting same-day med 35,091 it/s",
+              "artifacts/ab_throughput.json", 35091,
+              lambda a: a["cases"]["lv-shooting"]["it_per_s"]["med"]),
+        Claim("ab_lv_adaptive",
+              "EXPERIMENTS: LV adaptive fused steady-state med 3,213",
+              "artifacts/ab_throughput.json", 3213,
+              lambda a: a["cases"]["lv-adaptive"]["it_per_s"]["med"]),
+        Claim("ab_schr_shooting",
+              "EXPERIMENTS: Schrödinger shooting same-day med 1,524",
+              "artifacts/ab_throughput.json", 1524,
+              lambda a: a["cases"]["schr-shooting"]["it_per_s"]["med"]),
+        Claim("ab_ac2d_shooting",
+              "EXPERIMENTS: 2-D AC shooting same-day med 875",
+              "artifacts/ab_throughput.json", 875,
+              lambda a: a["cases"]["ac2d-shooting"]["it_per_s"]["med"]),
+        # ---- MFU / roofline (EXPERIMENTS round-4 table) ----------------
+        Claim("mfu_peak_pct",
+              "README/EXPERIMENTS: peak MXU utilization 2.2% "
+              "(Schrödinger shooting grad/highest)",
+              "artifacts/mfu_bench.json", 2.2,
+              lambda a: max(r["pct_peak"] for r in a["rows"]), rtol=5e-2),
         # ---- MLP baselines (README row; trend_plotter.py anchors) -----
         Claim("mlp52_best", "README: 52-param MLP 2.2e-5",
               "artifacts/mlp_full_budget.json", 2.2e-5,
