@@ -73,16 +73,21 @@ SOLVER_BY_PROBLEM = {"schrodinger": ("rk4", 24),
 
 
 def run(problem: str, polish_iters: int = 150,
-        fast: bool = False) -> dict:
+        fast: bool = False, seed: int | None = None) -> dict:
     """fast=True drops the 20k-iteration Adam trajectory phase — the
     capture runs measured it never produces the best iterate, so the
     fast recipe is shooting phases + capture + polish only (the
-    headline time-to-stationary-record number)."""
+    headline time-to-stationary-record number). seed overrides the
+    config's init seed (seed-robustness follow-ups,
+    `scripts/surrogate_seed_robustness.py`); artifacts then carry a
+    _seed{N} stem so the seed-0 record files are never clobbered."""
     solver, substeps = SOLVER_BY_PROBLEM[problem]
     base = SurrogateConfig(problem=problem, impl="fused",
                            rk_solver=solver, substeps=substeps,
                            bwd_precision="bf16",
                            max_iters_per_call=2_000, eval_every=500)
+    if seed is not None:
+        base = dataclasses.replace(base, seed=seed)
     data = make_data(base)
     model = make_model(base, data)
     fns = {m: make_fns(dataclasses.replace(base, solve_mode=m),
@@ -140,13 +145,15 @@ def run(problem: str, polish_iters: int = 150,
 
     def _save(tag, p):
         stem = f"{problem}_fast" if fast else f"{problem}_best"
+        if seed is not None:
+            stem = f"{stem}_seed{seed}"
         path = f"artifacts/{stem}_{tag}_params.npy"
         arr = np.empty((), dtype=object)
         arr[()] = jax.tree_util.tree_map(np.asarray, p)
         np.save(path, arr, allow_pickle=True)
         return path
 
-    rec = {"problem": problem,
+    rec = {"problem": problem, "seed": seed,
            "recipe": "fast(shooting+polish)" if fast else "full",
            "best_snapshot_mse": best["metric"],
            "best_where": best["where"],
@@ -164,16 +171,23 @@ def run(problem: str, polish_iters: int = 150,
 def main():
     args = sys.argv[1:]
     fast = "--fast" in args
+    seed = None
+    if "--seed" in args:
+        i = args.index("--seed")
+        seed = int(args[i + 1])
+        del args[i:i + 2]
     problems = [a for a in args if not a.startswith("--")] \
         or ["schrodinger", "allen_cahn", "burgers"]
     out_path = ("artifacts/surrogate_fast.json" if fast
                 else "artifacts/surrogate_best.json")
+    if seed is not None:
+        out_path = out_path.replace(".json", f"_seed{seed}.json")
     results = []
     if os.path.exists(out_path):
         with open(out_path) as f:
             results = json.load(f)
     for p in problems:
-        rec = run(p, fast=fast)
+        rec = run(p, fast=fast, seed=seed)
         results = [r for r in results if r["problem"] != p] + [rec]
         os.makedirs("artifacts", exist_ok=True)
         with open(out_path, "w") as f:
