@@ -219,6 +219,17 @@ def _claims() -> list[Claim]:
               "artifacts/surrogate_seed_robustness.json", 3.8e-14,
               lambda a: _by("problem", "burgers",
                             a)["polished_snapshot_mse"]["median"]),
+        Claim("ssr_burgers_seed3_full_mse",
+              "EXPERIMENTS: Burgers seed-3 (the fast-recipe outlier) "
+              "polishes to 6.14e-12 under the full recipe",
+              "artifacts/surrogate_best_seed3.json", 6.14e-12,
+              lambda a: _by("problem", "burgers",
+                            a)["polished_snapshot_mse"]),
+        Claim("ssr_burgers_seed3_full_wall",
+              "EXPERIMENTS: Burgers seed-3 full recipe 55.8 s end-to-end",
+              "artifacts/surrogate_best_seed3.json", 55.8,
+              lambda a: _by("problem", "burgers",
+                            a)["end_to_end_seconds"]),
         # ---- recovered physics (README rows) ---------------------------
         Claim("fisher2d_recovered", "README: 2-D Fisher-KPP x - 1.0032x^2",
               "artifacts/fisher2d_full.json", "-1.0032*x0**2 + x0",
