@@ -219,6 +219,11 @@ def _claims() -> list[Claim]:
               "artifacts/surrogate_seed_robustness.json", 3.8e-14,
               lambda a: _by("problem", "burgers",
                             a)["polished_snapshot_mse"]["median"]),
+        Claim("ssr_ac2d_median",
+              "EXPERIMENTS: 2-D AC 5-seed polished median 3.6e-15",
+              "artifacts/surrogate_seed_robustness.json", 3.6e-15,
+              lambda a: _by("problem", "allen_cahn_2d",
+                            a)["polished_snapshot_mse"]["median"]),
         Claim("ssr_burgers_seed3_full_mse",
               "EXPERIMENTS: Burgers seed-3 (the fast-recipe outlier) "
               "polishes to 6.14e-12 under the full recipe",

@@ -140,3 +140,22 @@ def select_from_history(param_history, metric_history, k: int = 0):
     if k == 0:
         return pick(int(order[0]))
     return [pick(int(i)) for i in order[:k]]
+
+
+def select_members_from_history(param_history, metric_history):
+    """Per-member `select_from_history` for multi-seed runs.
+
+    `train()`'s vector-loss mode records `param_history` with leaves of
+    shape [n_snapshots, S, ...] and `eval_history` of shape
+    [n_snapshots, S]; this returns a list of S (params, index, metric)
+    triples — each member's argmin-metric snapshot.
+    """
+    metric = np.asarray(metric_history)
+    if metric.ndim != 2:
+        raise ValueError(f"expected [n_snapshots, S] metric, "
+                         f"got shape {metric.shape}")
+    out = []
+    for s in range(metric.shape[1]):
+        hist_s = jax.tree_util.tree_map(lambda x: x[:, s], param_history)
+        out.append(select_from_history(hist_s, metric[:, s]))
+    return out

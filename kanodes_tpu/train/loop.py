@@ -179,12 +179,25 @@ def train(loss_fn: Callable[[Any], Array],
         spares every later fresh process the ~38-70 s Mosaic remote
         compile per fused-kernel chunk.
 
+    Multi-seed (vector-loss) mode: if `loss_fn` returns a VECTOR of
+    per-member losses (independent replicas stacked on a leading axis of
+    every param leaf, e.g. `jax.vmap(member_loss)`), the loop trains all
+    members as ONE device program: gradients are taken of the member
+    SUM — exact per-member gradients, since members are independent —
+    and best-tracking/eval/history become per-member. This is the
+    TPU-native answer to seed sweeps: at these model sizes the chip is
+    launch-latency-bound (EXPERIMENTS.md MFU table: 0.01-2.2% MXU), so
+    S-seed redundancy costs far less than S sequential runs.
+    `eval_fn` must return the matching [S] vector in this mode.
+
     Returns dict with final/best params, per-iter train-loss history and
     per-eval metric history.
     """
     opt = make_optimizer(cfg)
     if opt_state is None:
         opt_state = opt.init(params)
+    # () for the classic scalar objective; [S] for multi-seed vector mode
+    lshape = tuple(jax.eval_shape(loss_fn, params).shape)
 
     # chunking: the run executes n_calls * per_call iterations, which
     # ROUNDS cfg.iters UP to a whole number of chunks (loss_history is
@@ -203,10 +216,23 @@ def train(loss_fn: Callable[[Any], Array],
     # the XLA disk cache is warm.
     cache_key = (loss_fn, eval_fn, inner, evals_per_call, track_best,
                  record_history, cfg.optimizer, cfg.grad_clip,
-                 cfg.weight_decay)
+                 cfg.weight_decay, lshape)
     run_chunk = _RUN_CHUNK_CACHE.get(cache_key)
     if run_chunk is None:
-        vg = jax.value_and_grad(loss_fn)
+        if lshape == ():
+            vg = jax.value_and_grad(loss_fn)
+        else:
+            # vector mode: grad of the member sum == exact per-member
+            # grads (members are independent); keep the vector as aux
+            # for per-member best-tracking
+            def _summed(p):
+                vec = loss_fn(p)
+                return jnp.sum(vec), vec
+            _vg_aux = jax.value_and_grad(_summed, has_aux=True)
+
+            def vg(p):
+                (_, vec), grads = _vg_aux(p)
+                return vec, grads
 
         def step(carry, _):
             params, opt_state, best_loss, best_params = carry
@@ -219,9 +245,16 @@ def train(loss_fn: Callable[[Any], Array],
                 # the 2-D AC surrogate before this fix)
                 better = loss < best_loss
                 best_loss = jnp.where(better, loss, best_loss)
+                if lshape == ():
+                    sel = lambda new, old: jnp.where(better, new, old)
+                else:
+                    # per-member select: broadcast [S] over [S, ...] leaves
+                    def sel(new, old):
+                        b = better.reshape(
+                            lshape + (1,) * (new.ndim - len(lshape)))
+                        return jnp.where(b, new, old)
                 best_params = jax.tree_util.tree_map(
-                    lambda new, old: jnp.where(better, new, old),
-                    params, best_params)
+                    sel, params, best_params)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state, best_loss, best_params), loss
@@ -235,7 +268,7 @@ def train(loss_fn: Callable[[Any], Array],
         def _chunk_fn(carry):
             carry, (losses, metrics, snaps) = lax.scan(
                 outer, carry, None, length=evals_per_call)
-            return carry, losses.reshape(-1), metrics, snaps
+            return carry, losses.reshape((-1,) + lshape), metrics, snaps
 
         jitted = jax.jit(_chunk_fn)
         aot = {}
@@ -269,7 +302,8 @@ def train(loss_fn: Callable[[Any], Array],
             _RUN_CHUNK_CACHE.pop(next(iter(_RUN_CHUNK_CACHE)))
         _RUN_CHUNK_CACHE[cache_key] = run_chunk
 
-    carry = (params, opt_state, jnp.asarray(jnp.inf, jnp.float32), params)
+    carry = (params, opt_state, jnp.full(lshape, jnp.inf, jnp.float32),
+             params)
     if compile_only:
         warm = getattr(run_chunk, "warm", None)
         ok = bool(warm(carry)) if warm is not None else False
@@ -278,10 +312,10 @@ def train(loss_fn: Callable[[Any], Array],
             "params": params,
             "opt_state": opt_state,
             "best_params": params,
-            "best_loss": jnp.asarray(jnp.inf, jnp.float32),
-            "loss_history": jnp.zeros((n_calls * per_call,),
+            "best_loss": jnp.full(lshape, jnp.inf, jnp.float32),
+            "loss_history": jnp.zeros((n_calls * per_call,) + lshape,
                                       jnp.float32)[:cfg.iters],
-            "eval_history": jnp.zeros((n_evals,), jnp.float32),
+            "eval_history": jnp.zeros((n_evals,) + lshape, jnp.float32),
             "aot_compiled": ok,
         }
         if record_history:
@@ -316,6 +350,19 @@ def train(loss_fn: Callable[[Any], Array],
         out["param_history"] = jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs), *snap_chunks)
     return out
+
+
+def init_stacked(init_fn: Callable, seeds) -> Any:
+    """Stack independent inits on a leading member axis — the param
+    layout for `train()`'s multi-seed vector-loss mode (pair with
+    `jax.vmap(loss_fn)`). `init_fn` takes a PRNGKey; `seeds` are ints."""
+    trees = [init_fn(jax.random.PRNGKey(int(s))) for s in seeds]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def member_params(tree, i: int):
+    """Extract member i from a stacked multi-seed param tree."""
+    return jax.tree_util.tree_map(lambda x: x[i], tree)
 
 
 def train_step_fn(loss_fn: Callable, cfg: TrainConfig):

@@ -47,7 +47,7 @@ SEEDS = list(range(5))          # seed 0 = the committed record's init
 POLISH_ITERS = 60
 # committed polished records (artifacts/surrogate_best.json) for context
 RECORD = {"burgers": 3.81e-14, "allen_cahn": 3.49e-15,
-          "schrodinger": 6.70e-14}
+          "schrodinger": 6.70e-14, "allen_cahn_2d": 3.09e-13}
 
 
 def run_problem(problem: str) -> dict:

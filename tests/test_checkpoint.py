@@ -154,7 +154,8 @@ def test_chunk_cache_key_includes_structure():
     a cached chunk."""
     from kanodes_tpu.train.loop import _RUN_CHUNK_CACHE
     loss_fn, eval_fn, params = _quad_problem()
-    n0 = len(_RUN_CHUNK_CACHE)
+    _RUN_CHUNK_CACHE.clear()  # the cache is capped at 16; a full cache
+    n0 = len(_RUN_CHUNK_CACHE)  # (earlier tests) would mask key growth
     train(loss_fn, params, TrainConfig(lr=0.05, iters=40, eval_every=40))
     train(loss_fn, params, TrainConfig(lr=0.05, iters=40, eval_every=20))
     train(loss_fn, params, TrainConfig(lr=0.05, iters=40, eval_every=40,
