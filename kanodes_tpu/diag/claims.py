@@ -200,8 +200,12 @@ def _claims() -> list[Claim]:
               "README: Schrödinger record 2.19e-14 (seed-1 fast recipe)",
               "artifacts/surrogate_fast_seed1.json", 2.19e-14,
               sur("schrodinger", "polished_snapshot_mse")),
-        Claim("ac2d_record", "README: 2-D AC surrogate 3.09e-13",
+        Claim("ac2d_record", "README: 2-D AC seed-0 full budget 3.09e-13",
               "artifacts/surrogate_best.json", 3.09e-13,
+              sur("allen_cahn_2d", "polished_snapshot_mse")),
+        Claim("ac2d_record_seed4",
+              "README: 2-D AC record 2.13e-15 (seed-4 fast recipe)",
+              "artifacts/surrogate_fast_seed4.json", 2.13e-15,
               sur("allen_cahn_2d", "polished_snapshot_mse")),
         # ---- surrogate seed robustness (README/EXPERIMENTS round 4) ----
         Claim("ssr_allen_cahn_median",
@@ -290,6 +294,19 @@ def _claims() -> list[Claim]:
               lambda a: _deep_schrodinger_seed1(
                   _by("problem", "schrodinger", a)),
               deep=True),
+        Claim("deep_ac2d_seed4",
+              "surrogate_fast_seed4.json reproduces from params: "
+              "record-class through the cross-flow CPU XLA forward "
+              "(<1e-8, ~30x above the measured 2.8e-10 cross-backend "
+              "disagreement of these 96-step 4096-dim rollouts — "
+              "cross_flow_cpu_xla_mse in the artifact) AND bit-level "
+              "through the fused flow on the v5e "
+              "(remeasured_fused_tpu_mse)",
+              "artifacts/surrogate_fast_seed4.json",
+              True,
+              lambda a: _deep_ac2d_seed4(
+                  _by("problem", "allen_cahn_2d", a)),
+              deep=True),
     ]
 
 
@@ -342,6 +359,27 @@ def _deep_schrodinger_seed1(row: dict) -> bool:
           and np.isclose(fused, row["polished_snapshot_mse"], rtol=1e-2))
     if not ok:
         print(f"  deep_schrodinger_seed1: cross-flow {mse:.3e}, "
+              f"fused-tpu {fused:.3e} vs json "
+              f"{row['polished_snapshot_mse']:.3e}")
+    return ok
+
+
+def _deep_ac2d_seed4(row: dict) -> bool:
+    """Same two-sided pattern as the Schrödinger record: 1e-15-class
+    MSEs do not survive a DIFFERENT discrete flow (measured 2.8e-10
+    cross-backend disagreement for these 96-step 4096-dim rollouts), so
+    (a) the reloaded params must be record-class through the cross-flow
+    CPU XLA forward (<1e-8) and (b) the SAME-flow fused recompute on
+    the v5e (2026-08-19: bit-exact 2.1336815e-15) is recorded in the
+    artifact and must match the claimed record to 1%."""
+    mse = _surrogate_recompute(
+        "allen_cahn_2d",
+        "artifacts/allen_cahn_2d_fast_seed4_polished_params.npy")
+    fused = row["remeasured_fused_tpu_mse"]
+    ok = (mse < 1e-8
+          and np.isclose(fused, row["polished_snapshot_mse"], rtol=1e-2))
+    if not ok:
+        print(f"  deep_ac2d_seed4: cross-flow {mse:.3e}, "
               f"fused-tpu {fused:.3e} vs json "
               f"{row['polished_snapshot_mse']:.3e}")
     return ok
