@@ -141,6 +141,21 @@ def _claims() -> list[Claim]:
         Claim("lv_seed_median", "README: seed-sweep median best 3.1e-8",
               "artifacts/lv_seed_robustness.json", 3.1e-8,
               lambda a: a["best_traj_train_mse"]["median"]),
+        Claim("lv_vmapped_sweep_parity",
+              "EXPERIMENTS: vmapped 8-seed sweep median best bitwise "
+              "equal to the sequential sweep (3.130522863159513e-08)",
+              "artifacts/lv_multiseed_vmapped.json",
+              3.130522863159513e-08,
+              lambda a: a["best_traj_train_mse"]["median"], rtol=0.0),
+        Claim("lv_vmapped_sweep_beats_ref",
+              "EXPERIMENTS: vmapped sweep 8/8 seeds beat the reference",
+              "artifacts/lv_multiseed_vmapped.json", 8,
+              lambda a: a["seeds_beating_reference"], rtol=0.0),
+        Claim("lv_vmapped_sweep_wall",
+              "EXPERIMENTS: vmapped sweep total 40.9 s (vs 62.6 "
+              "sequential)",
+              "artifacts/lv_multiseed_vmapped.json", 40.9,
+              lambda a: a["total_seconds"]),
         Claim("lv_adaptive_faithful",
               "README: reference-regime adaptive run (XLA path) 6.6e-7",
               "artifacts/lv_adaptive_full.json", 6.6e-7,

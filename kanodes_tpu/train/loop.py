@@ -184,11 +184,13 @@ def train(loss_fn: Callable[[Any], Array],
     every param leaf, e.g. `jax.vmap(member_loss)`), the loop trains all
     members as ONE device program: gradients are taken of the member
     SUM — exact per-member gradients, since members are independent —
-    and best-tracking/eval/history become per-member. This is the
-    TPU-native answer to seed sweeps: at these model sizes the chip is
-    launch-latency-bound (EXPERIMENTS.md MFU table: 0.01-2.2% MXU), so
-    S-seed redundancy costs far less than S sequential runs.
-    `eval_fn` must return the matching [S] vector in this mode.
+    and best-tracking/eval/history become per-member. Measured on the
+    8-seed LV record sweep (EXPERIMENTS.md): bitwise per-member parity
+    with sequential runs and a modest wall-clock win (40.9 s vs 62.6 s
+    sequential), NOT a free ride — the member axis lifts into the
+    Pallas kernel grid, so in-kernel sequential latency scales with S.
+    The value is orchestration: one program, one AOT entry, per-member
+    capture. `eval_fn` must return the matching [S] vector.
 
     Returns dict with final/best params, per-iter train-loss history and
     per-eval metric history.

@@ -4,10 +4,15 @@
 sequentially over 8 init seeds (~5.8 s/seed steady-state, 62.6 s
 total). This script trains the SAME 8 replicas simultaneously via
 `train()`'s multi-seed vector-loss mode (params stacked on a leading
-member axis, loss = jax.vmap(member_loss)) — the TPU-native seed sweep:
-at LV size the chip is launch-latency-bound (EXPERIMENTS.md MFU table,
-0.01-0.03% MXU), so 8-member redundancy rides almost free inside each
-kernel launch and the sweep costs barely more wall-clock than ONE run.
+member axis, loss = jax.vmap(member_loss)).
+
+Measured outcome (artifacts/lv_multiseed_vmapped.json): per-member
+results BITWISE equal to the sequential sweep; total 40.9 s vs 62.6 s
+(warm caches both). The win is dispatch/compile amortization, not free
+redundancy — vmap lifts the member axis into the Pallas kernel GRID,
+so the latency-bound in-kernel step chain scales with S (the MFU table
+shows these shapes at 0.01-0.03% MXU: latency, not FLOPs, is the
+cost, and the grid serializes it).
 
 Reference anchor: the reference's published numbers are single-seed
 (`Lotka-Volterra/LV_driver_KANODE.jl:114`, `trend_plotter.py:7-8`);

@@ -1,13 +1,14 @@
 """Multi-seed (vector-loss) training mode of train().
 
 The reference runs seed studies as hand-edited sequential scripts (one
-rng per driver run, e.g. `Lotka-Volterra/LV_driver_KANODE.jl:114`). On
-TPU the chip is launch-latency-bound at these model sizes (EXPERIMENTS
-MFU table), so `train()` supports stacking S independent replicas on a
+rng per driver run, e.g. `Lotka-Volterra/LV_driver_KANODE.jl:114`).
+`train()` instead supports stacking S independent replicas on a
 leading param axis and training them as ONE device program: the loss_fn
 returns the [S] per-member loss vector, gradients are taken of the
 member sum (exact per-member grads — members are independent), and
 best-tracking / eval history / snapshot history become per-member.
+(Measured wall-clock story: EXPERIMENTS.md multi-seed section — exact
+parity, modest dispatch-amortization win, grid-lifted latency at S.)
 """
 
 import dataclasses
