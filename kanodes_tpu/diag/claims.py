@@ -156,6 +156,20 @@ def _claims() -> list[Claim]:
               "sequential)",
               "artifacts/lv_multiseed_vmapped.json", 40.9,
               lambda a: a["total_seconds"]),
+        Claim("lv_packed_sweep_parity",
+              "EXPERIMENTS: packed 8-seed sweep median best 3.1249e-8 "
+              "(sequential: 3.1305e-8 — equal to f32 rounding)",
+              "artifacts/lv_multiseed_packed.json", 3.1249e-8,
+              lambda a: a["best_traj_train_mse"]["median"]),
+        Claim("lv_packed_sweep_beats_ref",
+              "EXPERIMENTS: packed sweep 8/8 seeds beat the reference",
+              "artifacts/lv_multiseed_packed.json", 8,
+              lambda a: a["seeds_beating_reference"], rtol=0.0),
+        Claim("lv_packed_fixed_phase_rate",
+              "EXPERIMENTS: packed fixed phase 7k iters at S=8 in "
+              "2.42 s (~2.9k it/s, ~6x the vmapped rung)",
+              "artifacts/lv_multiseed_packed.json", 2.42,
+              lambda a: a["phase_seconds"][3]),
         Claim("lv_adaptive_faithful",
               "README: reference-regime adaptive run (XLA path) 6.6e-7",
               "artifacts/lv_adaptive_full.json", 6.6e-7,

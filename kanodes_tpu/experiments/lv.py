@@ -150,8 +150,18 @@ def init_params(cfg: LVConfig, model, key=None):
     return jax.tree_util.tree_map(lambda x: x * cfg.init_scale, params)
 
 
-def make_ode_fns(cfg: LVConfig, model, data):
-    """(loss_fn, eval_fn, predict_fn) closing over the dataset."""
+def make_ode_fns(cfg: LVConfig, model, data, *, reduce_fn=None):
+    """(loss_fn, eval_fn, predict_fn) closing over the dataset.
+
+    `reduce_fn` maps the squared-error tensor (last axis = state dim) to
+    the loss value; default is the scalar mean. Packed ensembles
+    (`models/packed.py`) pass a per-member mean so the loss is the [S]
+    vector `train()`'s multi-seed mode expects.
+    """
+    _reduce = reduce_fn if reduce_fn is not None else jnp.mean
+    if reduce_fn is not None and cfg.sparse_on:
+        raise ValueError("sparse_on adds a scalar regularizer; it does "
+                         "not compose with a vector reduce_fn")
     ts, X, n_train = data["ts"], data["X"], data["n_train"]
     ts_train = ts[:n_train]
     u0 = X[0]
@@ -220,7 +230,7 @@ def make_ode_fns(cfg: LVConfig, model, data):
 
     def trajectory_loss(params):
         pred = predict(params, ts_train)
-        return jnp.mean((pred - X[:n_train]) ** 2)
+        return _reduce((pred - X[:n_train]) ** 2)
 
     def shooting_loss(params):
         """Multiple-shooting objective — the TPU-native reformulation.
@@ -257,7 +267,7 @@ def make_ode_fns(cfg: LVConfig, model, data):
                 return ys[1:]                        # [L, 2]
 
             preds = jax.vmap(seg)(starts)
-        return jnp.mean((preds - targets) ** 2)
+        return _reduce((preds - targets) ** 2)
 
     def loss_fn(params):
         if cfg.solve_mode == "shooting":
@@ -271,7 +281,7 @@ def make_ode_fns(cfg: LVConfig, model, data):
 
     def eval_fn(params):
         pred = predict(params, ts)
-        return jnp.mean((pred - X) ** 2)
+        return _reduce((pred - X) ** 2)
 
     return loss_fn, eval_fn, predict
 

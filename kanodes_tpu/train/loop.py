@@ -200,6 +200,15 @@ def train(loss_fn: Callable[[Any], Array],
         opt_state = opt.init(params)
     # () for the classic scalar objective; [S] for multi-seed vector mode
     lshape = tuple(jax.eval_shape(loss_fn, params).shape)
+    # per-member best selection needs the stacked layout (leading member
+    # axis on every leaf); other vector-loss layouts (e.g. packed
+    # block-diagonal ensembles, models/packed.py) get JOINT best
+    # tracking: best_params/best_loss are taken at the argmin of the
+    # member SUM (per-member capture there goes through record_history +
+    # per-member argmin over snapshots instead)
+    stacked_layout = lshape != () and all(
+        leaf.shape[:1] == lshape
+        for leaf in jax.tree_util.tree_leaves(params))
 
     # chunking: the run executes n_calls * per_call iterations, which
     # ROUNDS cfg.iters UP to a whole number of chunks (loss_history is
@@ -218,7 +227,7 @@ def train(loss_fn: Callable[[Any], Array],
     # the XLA disk cache is warm.
     cache_key = (loss_fn, eval_fn, inner, evals_per_call, track_best,
                  record_history, cfg.optimizer, cfg.grad_clip,
-                 cfg.weight_decay, lshape)
+                 cfg.weight_decay, lshape, stacked_layout)
     run_chunk = _RUN_CHUNK_CACHE.get(cache_key)
     if run_chunk is None:
         if lshape == ():
@@ -245,9 +254,12 @@ def train(loss_fn: Callable[[Any], Array],
                 # point one Adam step past it (measured 3x off at the
                 # f32 floor: 4.15e-13 recorded vs 1.2e-12 re-measured on
                 # the 2-D AC surrogate before this fix)
-                better = loss < best_loss
+                if lshape == () or stacked_layout:
+                    better = loss < best_loss
+                else:                     # joint (sum) best for packed
+                    better = jnp.sum(loss) < jnp.sum(best_loss)
                 best_loss = jnp.where(better, loss, best_loss)
-                if lshape == ():
+                if lshape == () or not stacked_layout:
                     sel = lambda new, old: jnp.where(better, new, old)
                 else:
                     # per-member select: broadcast [S] over [S, ...] leaves

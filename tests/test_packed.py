@@ -1,0 +1,159 @@
+"""Packed (block-diagonal) KAN ensembles (`models/packed.py`).
+
+S member chains embedded as block-diagonal weights of one wider chain
+must compute S exactly-independent forwards, losses, gradients, and
+training runs — the member axis rides the GEMM width instead of the
+Pallas kernel grid (the measured-latency rationale is in
+EXPERIMENTS.md's multi-seed section).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kanodes_tpu.experiments.lv import (LVConfig, make_data, make_model,
+                                        make_ode_fns)
+from kanodes_tpu.models.packed import (apply_mask, block_mask,
+                                       extract_member, member_mean,
+                                       pack_chain, pack_params,
+                                       tile_state)
+from kanodes_tpu.train.loop import TrainConfig, train
+
+S = 3
+
+
+def _members(model, seeds=range(S), scale=1e-2):
+    return [jax.tree_util.tree_map(lambda x: x * scale,
+                                   model.init(jax.random.PRNGKey(s)))
+            for s in seeds]
+
+
+def _lv_setup(**cfg_kw):
+    cfg = LVConfig(**cfg_kw)
+    data = make_data(cfg)
+    model = make_model(cfg)
+    members = _members(model)
+    packed_model = pack_chain(model, S)
+    packed = pack_params(model, members)
+    pdata = {"ts": data["ts"], "X": tile_state(data["X"], S),
+             "n_train": data["n_train"]}
+    return cfg, data, model, members, packed_model, packed, pdata
+
+
+def test_pack_extract_roundtrip():
+    model = make_model(LVConfig())
+    members = _members(model)
+    packed = pack_params(model, members)
+    assert packed[0]["C"].shape == (3 * 2, 5, 3 * 10)
+    assert packed[1]["W"].shape == (3 * 10, 3 * 2)
+    for s in range(S):
+        got = extract_member(model, packed, S, s)
+        for g, ref in zip(jax.tree_util.tree_leaves(got),
+                          jax.tree_util.tree_leaves(members[s])):
+            np.testing.assert_array_equal(g, ref)
+    # off-block entries are exact zeros
+    mask = block_mask(model, S)
+    for m, p in zip(jax.tree_util.tree_leaves(mask),
+                    jax.tree_util.tree_leaves(packed)):
+        np.testing.assert_array_equal(np.asarray(p)[np.asarray(m) == 0],
+                                      0.0)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_packed_forward_is_member_independent(impl):
+    """packed_chain(tile(x)) == concat of member forwards, and member s
+    output is unaffected by other members' inputs."""
+    model = make_model(LVConfig())
+    members = _members(model, scale=1.0)
+    packed_model = pack_chain(model, S)
+    packed = pack_params(model, members)
+    x = jax.random.uniform(jax.random.PRNGKey(9), (7, 2), minval=0.1,
+                           maxval=2.0)
+    y_packed = packed_model.apply(packed, tile_state(x, S), impl=impl)
+    for s in range(S):
+        y_ref = model.apply(members[s], x, impl=impl)
+        np.testing.assert_allclose(y_packed[:, 2 * s:2 * s + 2], y_ref,
+                                   rtol=2e-5, atol=1e-6)
+    # independence: perturb member 0's input slice only
+    xt = tile_state(x, S).at[:, 0:2].set(-1.0)
+    y2 = packed_model.apply(packed, xt, impl=impl)
+    np.testing.assert_array_equal(y2[:, 2:], y_packed[:, 2:])
+
+
+@pytest.mark.parametrize("impl,mode", [("xla", "shooting"),
+                                       ("fused", "shooting"),
+                                       ("xla", "fixed"),
+                                       ("fused", "fixed")])
+def test_packed_lv_loss_and_grads_match_members(impl, mode):
+    (cfg, data, model, members, packed_model, packed,
+     pdata) = _lv_setup(solve_mode=mode, impl=impl, segment_len=2)
+    loss_s, eval_s, _ = make_ode_fns(cfg, packed_model, pdata,
+                                     reduce_fn=member_mean(S))
+    mask = block_mask(model, S)
+    vec = loss_s(apply_mask(mask, packed))
+    evec = eval_s(apply_mask(mask, packed))
+    assert vec.shape == (S,) and evec.shape == (S,)
+
+    ref_loss, ref_eval, _ = make_ode_fns(cfg, model, data)
+    for s in range(S):
+        np.testing.assert_allclose(vec[s], ref_loss(members[s]),
+                                   rtol=3e-5)
+        np.testing.assert_allclose(evec[s], ref_eval(members[s]),
+                                   rtol=3e-5)
+
+    # gradient isolation + parity: d(sum of member losses)/d packed ==
+    # block-diag of the member gradients
+    g = jax.grad(lambda p: jnp.sum(loss_s(apply_mask(mask, p))))(packed)
+    for m, gl in zip(jax.tree_util.tree_leaves(mask),
+                     jax.tree_util.tree_leaves(g)):
+        np.testing.assert_array_equal(np.asarray(gl)[np.asarray(m) == 0],
+                                      0.0)
+    for s in range(S):
+        gs = extract_member(model, g, S, s)
+        ref_g = jax.grad(ref_loss)(members[s])
+        for a, b in zip(jax.tree_util.tree_leaves(gs),
+                        jax.tree_util.tree_leaves(ref_g)):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-8)
+
+
+def test_packed_train_matches_sequential():
+    """A short packed vector-mode train run reproduces each member's own
+    scalar run (same Adam trajectory on the block entries)."""
+    (cfg, data, model, members, packed_model, packed,
+     pdata) = _lv_setup(solve_mode="shooting", impl="xla")
+    loss_s, eval_s, _ = make_ode_fns(cfg, packed_model, pdata,
+                                     reduce_fn=member_mean(S))
+    mask = block_mask(model, S)
+
+    def loss_vec(p):
+        return loss_s(apply_mask(mask, p))
+
+    tcfg = TrainConfig(lr=3e-3, iters=40, eval_every=20)
+    out = train(loss_vec, packed, tcfg,
+                eval_fn=lambda p: eval_s(apply_mask(mask, p)))
+    assert out["loss_history"].shape == (40, S)
+
+    ref_loss, ref_eval, _ = make_ode_fns(cfg, model, data)
+    for s in range(S):
+        ref = train(ref_loss, members[s], tcfg, eval_fn=ref_eval)
+        np.testing.assert_allclose(out["loss_history"][:, s],
+                                   ref["loss_history"], rtol=2e-4)
+        got = extract_member(model, out["params"], S, s)
+        for a, b in zip(jax.tree_util.tree_leaves(got),
+                        jax.tree_util.tree_leaves(ref["params"])):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-7)
+
+
+def test_packed_rejects_trainable_grid_and_vector_sparse():
+    model = make_model(LVConfig())
+    bad = dataclasses.replace(model.layers[0], trainable_grid=True)
+    from kanodes_tpu.models.kdense import KANChain
+    with pytest.raises(ValueError):
+        pack_chain(KANChain(bad, model.layers[1]), 2)
+    cfg = LVConfig(sparse_on=True)
+    data = make_data(cfg)
+    with pytest.raises(ValueError):
+        make_ode_fns(cfg, model, data, reduce_fn=member_mean(2))
