@@ -125,7 +125,15 @@ def make_model(cfg: SurrogateConfig, data: datagen.PDEData) -> KANChain:
 
 
 def make_fns(cfg: SurrogateConfig, model: KANChain,
-             data: datagen.PDEData):
+             data: datagen.PDEData, *, reduce_fn=None):
+    """(train_loss, snapshot_loss, predict) closing over the dataset.
+
+    `reduce_fn` maps the squared-error tensor (last axis = state dim) to
+    the loss; default scalar mean. Packed ensembles (`models/packed.py`)
+    pass `member_mean(S)` to get the [S] per-member loss vector (pair
+    with a member-tiled `data.X` and the packed model).
+    """
+    _reduce = reduce_fn if reduce_fn is not None else jnp.mean
     spec = _SNAPSHOTS[cfg.problem]
     idx = np.asarray(spec["idx"])
     ts_snap = jnp.asarray(data.ts[idx], jnp.float32)
@@ -227,7 +235,7 @@ def make_fns(cfg: SurrogateConfig, model: KANChain,
         return ys if idx[0] == 0 else ys[1:]
 
     def loss_fn(params):
-        return jnp.mean((predict(params) - X_snap) ** 2)
+        return _reduce((predict(params) - X_snap) ** 2)
 
     # segment structure is static: compute on host at closure scope
     ts_snap_np = np.asarray(data.ts[idx], np.float64)
@@ -260,7 +268,7 @@ def make_fns(cfg: SurrogateConfig, model: KANChain,
                 n = max(int(round(length / base_h)), 1)
                 x = fused_advance(params, starts[sel], n, float(length))
                 preds = preds.at[sel].set(x)
-            return jnp.mean((preds - targets) ** 2)
+            return _reduce((preds - targets) ** 2)
 
         def seg(u_s, t0, t1):
             seg_ts = jnp.stack([t0, t1])
@@ -269,7 +277,7 @@ def make_fns(cfg: SurrogateConfig, model: KANChain,
                                 substeps=cfg.substeps)[-1]
 
         preds = jax.vmap(seg)(starts, seg_ts0, seg_ts1)
-        return jnp.mean((preds - targets) ** 2)
+        return _reduce((preds - targets) ** 2)
 
     train_loss = shooting_loss if cfg.solve_mode == "shooting" else loss_fn
     return train_loss, loss_fn, predict

@@ -147,6 +147,49 @@ def test_packed_train_matches_sequential():
             np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-7)
 
 
+@pytest.mark.parametrize("impl,mode", [("xla", "shooting"),
+                                       ("fused", "fixed")])
+def test_packed_surrogate_loss_matches_members(impl, mode):
+    """The reduce_fn hook generalizes packing to the PDE surrogates:
+    a 2-member packed Burgers chain reproduces each member's own loss
+    and gradients (small 11-point grid)."""
+    from kanodes_tpu.experiments.pde_surrogate import (SurrogateConfig,
+                                                       make_data,
+                                                       make_fns,
+                                                       make_model)
+    Sp = 2
+    cfg = SurrogateConfig(problem="burgers", impl=impl, solve_mode=mode,
+                          substeps=4, data_dx=0.2)
+    data = make_data(cfg)
+    model = make_model(cfg, data)
+    members = [jax.tree_util.tree_map(lambda x: 1e-2 * x,
+                                      model.init(jax.random.PRNGKey(s)))
+               for s in range(Sp)]
+    packed_model = pack_chain(model, Sp)
+    packed = pack_params(model, members)
+    pdata = dataclasses.replace(data, X=np.tile(data.X, (1, Sp)))
+    mask = block_mask(model, Sp)
+
+    loss_p, snap_p, _ = make_fns(cfg, packed_model, pdata,
+                                 reduce_fn=member_mean(Sp))
+    vec = loss_p(apply_mask(mask, packed))
+    svec = snap_p(apply_mask(mask, packed))
+    assert vec.shape == (Sp,) and svec.shape == (Sp,)
+
+    ref_loss, ref_snap, _ = make_fns(cfg, model, data)
+    g = jax.grad(lambda p: jnp.sum(loss_p(apply_mask(mask, p))))(packed)
+    for s in range(Sp):
+        np.testing.assert_allclose(vec[s], ref_loss(members[s]),
+                                   rtol=3e-5)
+        np.testing.assert_allclose(svec[s], ref_snap(members[s]),
+                                   rtol=3e-5)
+        gs = extract_member(model, g, Sp, s)
+        ref_g = jax.grad(ref_loss)(members[s])
+        for a, b in zip(jax.tree_util.tree_leaves(gs),
+                        jax.tree_util.tree_leaves(ref_g)):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-8)
+
+
 def test_packed_rejects_trainable_grid_and_vector_sparse():
     model = make_model(LVConfig())
     bad = dataclasses.replace(model.layers[0], trainable_grid=True)
