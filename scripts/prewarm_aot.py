@@ -39,7 +39,8 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 
 from kanodes_tpu.train.loop import TrainConfig, train  # noqa: E402
 
-GROUPS = set(sys.argv[1:]) or {"surrogate", "source", "lv", "bench"}
+GROUPS = set(sys.argv[1:]) or {"surrogate", "source", "lv", "packed",
+                               "bench"}
 REPORT = []
 
 
@@ -167,6 +168,48 @@ def lv_units():
         _unit(tag, go)
 
 
+def packed_units():
+    """The packed 8-seed LV ensemble chunks
+    (scripts/lv_multiseed_packed.py). NOTE: prewarming removes the
+    ~130 s Mosaic compile for fresh machines, but a fresh PROCESS still
+    pays the one-time packed-kernel LOAD on first execution
+    (CLAUDE.md environment gotchas)."""
+    from kanodes_tpu.experiments import lv
+    from kanodes_tpu.models.packed import (apply_mask, block_mask,
+                                           member_mean, pack_chain,
+                                           pack_params, tile_state)
+
+    S = 8
+    base = lv.LVConfig(impl="fused", basis="iqf")
+    data = lv.make_data(base)
+    model = lv.make_model(base)
+    packed_model = pack_chain(model, S)
+    pdata = {"ts": data["ts"], "X": tile_state(data["X"], S),
+             "n_train": data["n_train"]}
+    mask = block_mask(model, S)
+    packed = pack_params(
+        model, [lv.init_params(base, model, key=jax.random.PRNGKey(s))
+                for s in range(S)])
+    # the sweep's three distinct (mode, L, iters) chunk programs
+    for tag, mode, L, iters in (("packed/shooting_L1", "shooting", 1,
+                                 10_000),
+                                ("packed/shooting_L4", "shooting", 4,
+                                 6_000),
+                                ("packed/fixed", "fixed", 0, 7_000)):
+        loss_s, _, _ = lv.make_ode_fns(
+            dataclasses.replace(base, solve_mode=mode,
+                                segment_len=max(L, 1)),
+            packed_model, pdata, reduce_fn=member_mean(S))
+        tc = TrainConfig(lr=1e-3, iters=iters, eval_every=iters)
+
+        def go(loss_s=loss_s, tc=tc):
+            out = train(lambda p, f=loss_s: f(apply_mask(mask, p)),
+                        packed, tc, compile_only=True)
+            return out["aot_compiled"]
+
+        _unit(tag, go)
+
+
 def bench_units():
     import bench
 
@@ -186,6 +229,8 @@ if __name__ == "__main__":
         source_units()
     if "lv" in GROUPS:
         lv_units()
+    if "packed" in GROUPS:
+        packed_units()
     if "bench" in GROUPS:
         bench_units()
     n_ok = sum(1 for _, s, _ in REPORT if s == "cached")
