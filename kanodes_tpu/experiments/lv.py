@@ -150,18 +150,32 @@ def init_params(cfg: LVConfig, model, key=None):
     return jax.tree_util.tree_map(lambda x: x * cfg.init_scale, params)
 
 
-def make_ode_fns(cfg: LVConfig, model, data, *, reduce_fn=None):
+def make_ode_fns(cfg: LVConfig, model, data, *, reduce_fn=None,
+                 n_members: int | None = None):
     """(loss_fn, eval_fn, predict_fn) closing over the dataset.
 
     `reduce_fn` maps the squared-error tensor (last axis = state dim) to
     the loss value; default is the scalar mean. Packed ensembles
     (`models/packed.py`) pass a per-member mean so the loss is the [S]
     vector `train()`'s multi-seed mode expects.
+
+    `n_members` declares the packed-ensemble member count; adaptive
+    solve modes REQUIRE it with a `reduce_fn` — the solve then routes
+    through `ode.odeint_members` (one independent step controller per
+    member, the reference-faithful protocol applied member-wise). With
+    `n_members=None`, adaptive + reduce_fn raises: the single shared
+    controller would silently couple the members through dt.
     """
     _reduce = reduce_fn if reduce_fn is not None else jnp.mean
     if reduce_fn is not None and cfg.sparse_on:
         raise ValueError("sparse_on adds a scalar regularizer; it does "
                          "not compose with a vector reduce_fn")
+    if (reduce_fn is not None and cfg.solve_mode == "adaptive"
+            and n_members is None):
+        raise ValueError(
+            "adaptive solve with a vector reduce_fn needs n_members= "
+            "(per-member step control via odeint_members); a shared "
+            "controller would couple the ensemble members through dt")
     ts, X, n_train = data["ts"], data["X"], data["n_train"]
     ts_train = ts[:n_train]
     u0 = X[0]
@@ -195,6 +209,23 @@ def make_ode_fns(cfg: LVConfig, model, data, *, reduce_fn=None):
             # accepted step per save time, so the bounded scan must grow
             # with the grid (the train grid uses cfg.max_steps as-is)
             ms = max(cfg.max_steps, 2 * int(t_grid.shape[0]))
+            if n_members is not None:
+                # packed ensemble, one controller per member. The
+                # whole-solve fused kernel shares a single controller,
+                # so the fused/pallas impls route through the stage-wise
+                # fused-chain RHS instead (one Pallas launch per stage).
+                from kanodes_tpu.ode import odeint_members
+                if cfg.model == "kan" and cfg.impl in ("fused", "pallas"):
+                    from kanodes_tpu.ops.kdense_pallas import kan_chain_rhs
+                    rhs_m = kan_chain_rhs(model)
+                else:
+                    rhs_m = rhs
+                # packed callers pass pre-tiled data, so u0 is [S*d]
+                ys = odeint_members(rhs_m, u0, t_grid, params,
+                                    n_members=n_members, solver="tsit5",
+                                    rtol=cfg.rtol, atol=cfg.atol,
+                                    max_steps=ms)
+                return ys
             if use_fused:
                 # whole bounded controller loop + its discrete adjoint
                 # as ONE kernel launch each (ops/rk_adaptive_fused);

@@ -189,7 +189,7 @@ class BSplineKANChain:
         keys = jax.random.split(key, len(self.layers))
         return [l.init(k) for l, k in zip(self.layers, keys)]
 
-    def apply(self, params, x: Array, *, update_grid: bool = False):
+    def apply(self, params, x: Array):
         for layer, p in zip(self.layers, params):
             x = layer.apply(p, x)
         return x

@@ -23,9 +23,14 @@ off-block gradients are exactly zero and Adam never moves off-block
 entries from zero. The packed state vector is member-major:
 member s owns dims [s*d, (s+1)*d).
 
-Caveat: adaptive-stepping modes share ONE step controller across the
-packed state (a joint error norm), so member trajectories are coupled
-through dt — packing is exact for fixed/shooting modes only.
+Adaptive stepping: the plain `odeint` over a packed state would share
+ONE controller (a joint error norm) and couple members through dt, so
+packed adaptive solves go through `ode.odeint_members` instead — one
+independent save-clipped controller per member (member-blocked error
+norms, per-member dt/t/save_idx vectors). `experiments.lv.make_ode_fns`
+routes there when given `reduce_fn` + `n_members` with
+solve_mode="adaptive", making the reference-faithful adaptive protocol
+(`LV_driver_KANODE.jl:180-184`) available to packed ensembles.
 
 The reference has no ensemble concept at all (seed studies are
 hand-edited sequential reruns, `Lotka-Volterra/LV_driver_KANODE.jl:114`);

@@ -741,3 +741,175 @@ def _backsolve_bwd(f, tab, rtol, atol, max_steps, ctrl_dense, res, ys_bar):
 
 
 _odeint_backsolve.defvjp(_backsolve_fwd, _backsolve_bwd)
+
+
+# ---------------------------------------------------------------------------
+# per-member adaptive integration for packed ensembles
+# ---------------------------------------------------------------------------
+
+def _member_norm(tree_like_err: Array, y0: Array, y1: Array,
+                 rtol, atol, n_members: int) -> Array:
+    """Member-blocked Hairer norm: the packed state's last axis is
+    member-major [S*d]; returns one error norm per member [S], computed
+    over that member's block (all batch axes included) — the exact
+    per-member analogue of `error_norm`."""
+    S = n_members
+    d = y0.shape[-1] // S
+    scale = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
+    r = (tree_like_err / scale).reshape(y0.shape[:-1] + (S, d))
+    axes = tuple(range(r.ndim - 2)) + (r.ndim - 1,)
+    return jnp.sqrt(jnp.mean(r * r, axis=axes))
+
+
+def _initial_dt_members(f, t0, y0, args, order, rtol, atol, tdir,
+                        n_members: int) -> Array:
+    """Per-member Hairer starting-step heuristic — `initial_dt` with
+    every norm taken over the member's own block, so each member starts
+    exactly where its sequential solve would."""
+    S = n_members
+    d = y0.shape[-1] // S
+    expand = lambda v: jnp.repeat(v, d)
+    f0 = f(t0, y0, args)
+
+    def nrm(x):
+        sc = atol + rtol * jnp.abs(y0)
+        r = (x / sc).reshape(y0.shape[:-1] + (S, d))
+        axes = tuple(range(r.ndim - 2)) + (r.ndim - 1,)
+        return jnp.sqrt(jnp.mean(r * r, axis=axes))
+
+    d0, d1 = nrm(y0), nrm(f0)
+    h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
+    y1 = y0 + expand(tdir * h0) * f0
+    f1 = f(t0 + tdir * h0, y1, args)
+    d2 = nrm(f1 - f0) / h0
+    dmax = jnp.maximum(d1, d2)
+    h1 = jnp.where(dmax <= 1e-15,
+                   jnp.maximum(1e-6, h0 * 1e-3),
+                   (0.01 / dmax) ** (1.0 / (order + 1)))
+    return jnp.minimum(100.0 * h0, h1)
+
+
+def odeint_members(f: Callable, y0: Array, ts: Array, args=None, *,
+                   n_members: int,
+                   solver: str | Tableau = "tsit5",
+                   rtol: float = 1e-3, atol: float = 1e-6,
+                   dt0: float | None = None, max_steps: int = 4096,
+                   controller: StepController = StepController(),
+                   return_stats: bool = False):
+    """Adaptive solve of a PACKED ensemble state with one independent
+    step controller PER MEMBER.
+
+    `y0`'s last axis is member-major packed [S*d] (`models/packed.py`);
+    `f` must be block-diagonal across members (packed KAN chains are, by
+    masking) and is called with a per-member time VECTOR t [S] —
+    autonomous RHSs ignore it. Each member then carries its own
+    (t, dt, save_idx, err_prev): error norms are member-blocked, steps
+    are save-clipped per member, and accept/reject decisions never
+    couple members — the reference-faithful adaptive training protocol
+    (`LV_driver_KANODE.jl:180-184`) applied to every ensemble member at
+    once, which a single shared controller (the `odeint` default over a
+    packed state) cannot do.
+
+    Reverse-differentiable: the bounded `lax.scan` analogue of
+    `odeint(..., adjoint="direct")`. Returns ys [T, ..., S*d] (and
+    per-member SolveStats when `return_stats`).
+    """
+    tab = get_tableau(solver)
+    if tab.b_err is None or not tab.fsal:
+        raise ValueError("per-member adaptive requires an FSAL embedded "
+                         "tableau (tsit5/dopri5/bs3)")
+    ts = jnp.asarray(ts)
+    y0 = jnp.asarray(y0)
+    S = int(n_members)
+    if y0.shape[-1] % S:
+        raise ValueError(f"state dim {y0.shape[-1]} not divisible by "
+                         f"n_members={S}")
+    d = y0.shape[-1] // S
+    T = ts.shape[0]
+    tdir = jnp.sign(ts[-1] - ts[0])
+    expand = lambda v: jnp.repeat(v, d)                    # [S] -> [S*d]
+
+    t0 = jnp.full((S,), ts[0], jnp.result_type(ts))
+    if dt0 is None:
+        dt = lax.stop_gradient(_initial_dt_members(
+            f, t0, y0, args, tab.order, rtol, atol, tdir, S))
+    else:
+        dt = jnp.full((S,), dt0, jnp.result_type(ts))
+    k1 = f(t0, y0, args)
+    ys = jnp.zeros((T,) + y0.shape, y0.dtype).at[0].set(y0)
+    state = {
+        "t": t0, "y": y0, "dt": dt, "k1": k1,
+        "save_idx": jnp.ones((S,), jnp.int32),
+        "ys": ys,
+        "done": jnp.full((S,), T <= 1),
+        "err_prev": jnp.ones((S,), jnp.result_type(ts)),
+        "n_accept": jnp.zeros((S,), jnp.int32),
+        "n_reject": jnp.zeros((S,), jnp.int32),
+        "n_iter": jnp.zeros((S,), jnp.int32),
+    }
+
+    def step(s, _):
+        t, y, dt, k1 = s["t"], s["y"], s["dt"], s["k1"]
+        save_idx, done = s["save_idx"], s["done"]
+        t_save = ts[jnp.minimum(save_idx, T - 1)]          # [S]
+        remaining = (t_save - t) * tdir
+        hit = dt >= remaining
+        dt_used = jnp.where(hit, remaining, dt)            # [S]
+        h = expand(tdir * dt_used)                         # [S*d]
+
+        ks = [k1]
+        for i in range(1, tab.stages):
+            yi = y + h * _weighted_sum(tab.a[i], ks)
+            ks.append(f(t + tab.c[i] * dt_used, yi, args))
+        y1 = y + h * _weighted_sum(tab.b, ks)
+        err = h * _weighted_sum(tab.b_err, ks)
+        err_nrm = lax.stop_gradient(
+            _member_norm(err, y, y1, rtol, atol, S))       # [S]
+        accept = (err_nrm <= 1.0) | (dt_used <= controller.dt_min)
+        fac = controller.factor(err_nrm, tab.order, s["err_prev"])
+        dt_next = jnp.maximum(dt_used * fac, controller.dt_min)
+
+        step_ok = accept & ~done                           # [S]
+        t1_ = t + tdir * dt_used
+        t_new = jnp.where(step_ok, jnp.where(hit, t_save, t1_), t)
+        ok = expand(step_ok)
+        y_new = jnp.where(ok, y1, y)
+        k1_new = jnp.where(ok, ks[-1], k1)                 # FSAL
+
+        saved = step_ok & hit                              # [S]
+        onehot = ((jnp.arange(T)[:, None] == save_idx[None, :])
+                  & saved[None, :])                        # [T, S]
+        m = jnp.repeat(onehot, d, axis=1)                  # [T, S*d]
+        m = m.reshape((T,) + (1,) * (y.ndim - 1) + (S * d,))
+        ys_new = jnp.where(m, y1[None], s["ys"])
+        save_idx_new = save_idx + saved.astype(jnp.int32)
+        done_new = done | (save_idx_new >= T)
+
+        return {
+            "t": t_new, "y": y_new,
+            "dt": jnp.where(done, dt, dt_next),
+            "k1": k1_new, "save_idx": save_idx_new, "ys": ys_new,
+            "done": done_new,
+            "err_prev": jnp.where(step_ok, jnp.maximum(err_nrm, 1e-12),
+                                  s["err_prev"]),
+            "n_accept": s["n_accept"] + step_ok.astype(jnp.int32),
+            "n_reject": s["n_reject"]
+            + (~accept & ~done).astype(jnp.int32),
+            "n_iter": s["n_iter"] + (~done).astype(jnp.int32),
+        }, None
+
+    state, _ = lax.scan(step, state, None, length=max_steps)
+
+    # unreached save rows (max_steps exhausted): fill that MEMBER's block
+    # with its last integrated state, mirroring `_fill_unreached`
+    unreached = (jnp.arange(T)[:, None]
+                 >= state["save_idx"][None, :])            # [T, S]
+    um = jnp.repeat(unreached, d, axis=1)
+    um = um.reshape((T,) + (1,) * (y0.ndim - 1) + (S * d,))
+    ys = jnp.where(um, state["y"][None], state["ys"])
+
+    if return_stats:
+        stats = SolveStats(state["n_accept"], state["n_reject"],
+                           state["n_iter"], state["done"])
+        return ys, stats
+    return ys

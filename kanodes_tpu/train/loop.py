@@ -118,14 +118,44 @@ class TrainConfig:
     max_iters_per_call: int = 10_000
 
 
-def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+def clip_by_member_norm(max_norm: float) -> optax.GradientTransformation:
+    """Per-member global-norm clipping for STACKED ensembles (leading
+    member axis on every leaf): member s is clipped by the norm of ITS
+    OWN gradient slice, so members stay exactly independent — a single
+    `optax.clip_by_global_norm` over the summed-loss gradients would
+    couple every member through one shared norm."""
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        leaves = jax.tree_util.tree_leaves(updates)
+        # per-member squared norm: sum over every axis but the member axis
+        sq = sum(jnp.sum(jnp.square(x), axis=tuple(range(1, x.ndim)))
+                 for x in leaves)
+        scale = jnp.minimum(1.0, max_norm / jnp.maximum(
+            jnp.sqrt(sq), 1e-16))
+        updates = jax.tree_util.tree_map(
+            lambda x: x * scale.reshape((-1,) + (1,) * (x.ndim - 1)),
+            updates)
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
+
+
+def make_optimizer(cfg: TrainConfig,
+                   member_clip: bool = False) -> optax.GradientTransformation:
     """The learning rate is INJECTED as a runtime hyperparameter (it
     lives in opt_state, not in the compiled program): training phases
     that differ only in lr then lower to byte-identical HLO, so the
     in-process chunk memo and the cross-process AOT executable cache
     (see _aot_compile) both serve every phase after the first — on this
     machine each avoided Mosaic remote compile of a fused-kernel
-    training chunk is ~38-70 s."""
+    training chunk is ~38-70 s.
+
+    `member_clip=True` replaces global-norm clipping by the per-member
+    variant (stacked ensembles; see `clip_by_member_norm`)."""
     if cfg.optimizer == "adam":
         opt = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr)
     elif cfg.optimizer == "adamw":
@@ -136,7 +166,9 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
     if cfg.grad_clip is not None:
-        opt = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), opt)
+        clip = (clip_by_member_norm(cfg.grad_clip) if member_clip
+                else optax.clip_by_global_norm(cfg.grad_clip))
+        opt = optax.chain(clip, opt)
     return opt
 
 
@@ -148,7 +180,8 @@ def train(loss_fn: Callable[[Any], Array],
           record_history: bool = False,
           on_chunk: Callable[[int, dict], None] | None = None,
           opt_state=None,
-          compile_only: bool = False):
+          compile_only: bool = False,
+          stacked: bool | None = None):
     """Run `cfg.iters` optimization steps fully on device.
 
     Args:
@@ -192,12 +225,19 @@ def train(loss_fn: Callable[[Any], Array],
     The value is orchestration: one program, one AOT entry, per-member
     capture. `eval_fn` must return the matching [S] vector.
 
+    `stacked`: declare the vector-mode param layout explicitly — True
+    for the stacked layout (leading member axis on every leaf; enables
+    per-member best-tracking), False for any other layout (packed
+    block-diagonal ensembles etc.; joint best-tracking). The default
+    (None) infers it by checking every leaf's leading dim against the
+    loss-vector length — which can misfire on a NON-stacked tree whose
+    leaves all coincidentally lead with S, silently frankensteinining
+    best_params from per-member argmin slices along a non-member axis.
+    Pass it explicitly when the layout is known.
+
     Returns dict with final/best params, per-iter train-loss history and
     per-eval metric history.
     """
-    opt = make_optimizer(cfg)
-    if opt_state is None:
-        opt_state = opt.init(params)
     # () for the classic scalar objective; [S] for multi-seed vector mode
     lshape = tuple(jax.eval_shape(loss_fn, params).shape)
     # per-member best selection needs the stacked layout (leading member
@@ -206,9 +246,24 @@ def train(loss_fn: Callable[[Any], Array],
     # tracking: best_params/best_loss are taken at the argmin of the
     # member SUM (per-member capture there goes through record_history +
     # per-member argmin over snapshots instead)
-    stacked_layout = lshape != () and all(
-        leaf.shape[:1] == lshape
-        for leaf in jax.tree_util.tree_leaves(params))
+    if stacked is None:
+        stacked = lshape != () and all(
+            leaf.shape[:1] == lshape
+            for leaf in jax.tree_util.tree_leaves(params))
+    elif stacked and lshape == ():
+        raise ValueError("stacked=True requires a vector loss_fn")
+    stacked_layout = stacked
+    if lshape != () and cfg.grad_clip is not None and not stacked_layout:
+        # one global norm over the member-summed gradients would couple
+        # every member's update (ADVICE r4); the per-member clip needs
+        # the stacked layout to find the member axis
+        raise ValueError(
+            "grad_clip with a vector (multi-member) loss requires the "
+            "stacked layout (per-member clipping); a global norm would "
+            "silently couple the members")
+    opt = make_optimizer(cfg, member_clip=(lshape != () and stacked_layout))
+    if opt_state is None:
+        opt_state = opt.init(params)
 
     # chunking: the run executes n_calls * per_call iterations, which
     # ROUNDS cfg.iters UP to a whole number of chunks (loss_history is

@@ -174,6 +174,9 @@ def main():
     seed = None
     if "--seed" in args:
         i = args.index("--seed")
+        if i + 1 >= len(args) or not args[i + 1].lstrip("-").isdigit():
+            sys.exit("usage: surrogate_best.py [--fast] [--seed N] "
+                     "[problem ...]")
         seed = int(args[i + 1])
         del args[i:i + 2]
     problems = [a for a in args if not a.startswith("--")] \

@@ -127,6 +127,60 @@ def test_lv_multiseed_matches_sequential(impl):
     assert np.all(out["loss_history"][-1] < out["loss_history"][0])
 
 
+def test_vector_mode_grad_clip_is_per_member():
+    """With grad_clip set, stacked vector mode must clip each member by
+    ITS OWN gradient norm (one global norm over the summed-loss
+    gradients would couple the members — ADVICE r4): every member still
+    matches its own scalar clipped run."""
+    cfg = TrainConfig(lr=0.2, iters=60, eval_every=30, grad_clip=0.5)
+    p0 = jnp.stack([jnp.zeros(3), 8.0 * jnp.ones(3), -3.0 * jnp.ones(3)])
+
+    def loss_vec(p):
+        return jax.vmap(_member_loss)(p, TARGETS)
+
+    out = train(loss_vec, p0, cfg, eval_fn=loss_vec)
+    for s in range(3):
+        scalar = train(lambda p, t=TARGETS[s]: _member_loss(p, t),
+                       p0[s], cfg,
+                       eval_fn=lambda p, t=TARGETS[s]: _member_loss(p, t))
+        np.testing.assert_allclose(out["loss_history"][:, s],
+                                   scalar["loss_history"],
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(member_params(out["params"], s),
+                                   scalar["params"], rtol=1e-5, atol=1e-6)
+
+
+def test_vector_mode_grad_clip_rejects_non_stacked():
+    """Packed (non-stacked) vector layouts cannot be member-clipped, so
+    grad_clip must raise instead of silently coupling members."""
+    def loss_vec(p):
+        return jnp.sum((p - TARGETS) ** 2, axis=1)
+
+    cfg = TrainConfig(lr=0.1, iters=10, grad_clip=1.0)
+    with pytest.raises(ValueError, match="stacked"):
+        train(loss_vec, jnp.zeros((3, 3)), cfg, stacked=False)
+
+
+def test_explicit_stacked_kwarg():
+    """stacked=False forces joint best-tracking even when every leaf
+    coincidentally leads with S (the inference heuristic's failure
+    mode); stacked=True on a scalar loss raises."""
+    cfg = TrainConfig(lr=0.2, iters=30, eval_every=30)
+
+    def loss_vec(p):
+        return jax.vmap(_member_loss)(p, TARGETS)
+
+    p0 = jnp.stack([jnp.zeros(3), jnp.ones(3), -jnp.ones(3)])
+    joint = train(loss_vec, p0, cfg, stacked=False)
+    # joint best: ONE snapshot (argmin of the member sum) — all members'
+    # best_params come from the same iteration, so re-evaluating the
+    # vector loss there reproduces best_loss exactly
+    np.testing.assert_allclose(loss_vec(joint["best_params"]),
+                               joint["best_loss"], rtol=1e-6)
+    with pytest.raises(ValueError, match="vector"):
+        train(lambda p: jnp.sum(p ** 2), jnp.zeros(3), cfg, stacked=True)
+
+
 def test_init_stacked_shapes():
     cfg = LVConfig()
     model = make_model(cfg)

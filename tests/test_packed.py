@@ -190,6 +190,87 @@ def test_packed_surrogate_loss_matches_members(impl, mode):
             np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-8)
 
 
+def test_odeint_members_independent_controllers():
+    """Block-diagonal linear system with a 100x time-scale split: each
+    member's controller must walk its own dt sequence (different step
+    counts) and still match that member's sequential adaptive solve and
+    the closed form."""
+    from kanodes_tpu.ode import odeint, odeint_members
+
+    lam = jnp.asarray([0.5, 50.0])
+
+    def f_packed(t, y, args):
+        return -jnp.repeat(args, 1) * y          # d=1 per member
+
+    def f_single(t, y, args):
+        return -args * y
+
+    ts = jnp.linspace(0.0, 1.0, 6)
+    y0 = jnp.asarray([1.0, 1.0])
+    ys, stats = odeint_members(f_packed, y0, ts, lam, n_members=2,
+                               rtol=1e-6, atol=1e-9, max_steps=512,
+                               return_stats=True)
+    assert ys.shape == (6, 2)
+    # the stiff member needs far more accepted steps — controllers are
+    # genuinely independent
+    assert int(stats.n_accept[1]) > 2 * int(stats.n_accept[0])
+    for s in range(2):
+        ref = odeint(f_single, y0[s:s + 1], ts, lam[s], rtol=1e-6,
+                     atol=1e-9, max_steps=512, adjoint="direct")
+        np.testing.assert_allclose(ys[:, s:s + 1], ref, rtol=1e-6,
+                                   atol=1e-9)
+        # closed form holds down to the controller's atol floor (the
+        # stiff member's tail decays to 1e-22 — below f32/atol reach)
+        np.testing.assert_allclose(ys[:, s], jnp.exp(-lam[s] * ts),
+                                   rtol=1e-3, atol=5e-9)
+
+
+def test_packed_adaptive_members_matches_sequential():
+    """Packed LV ensemble under the reference-faithful ADAPTIVE protocol:
+    per-member losses, evals and gradients match each member's own
+    sequential adaptive run (odeint_members gives every member its own
+    save-clipped controller)."""
+    (cfg, data, model, members, packed_model, packed,
+     pdata) = _lv_setup(solve_mode="adaptive", impl="xla", max_steps=96)
+    loss_s, eval_s, _ = make_ode_fns(cfg, packed_model, pdata,
+                                     reduce_fn=member_mean(S),
+                                     n_members=S)
+    mask = block_mask(model, S)
+    vec = loss_s(apply_mask(mask, packed))
+    evec = eval_s(apply_mask(mask, packed))
+    assert vec.shape == (S,) and evec.shape == (S,)
+
+    ref_cfg = dataclasses.replace(cfg, adjoint="direct")
+    ref_loss, ref_eval, _ = make_ode_fns(ref_cfg, model, data)
+    for s in range(S):
+        np.testing.assert_allclose(vec[s], ref_loss(members[s]),
+                                   rtol=3e-5)
+        np.testing.assert_allclose(evec[s], ref_eval(members[s]),
+                                   rtol=3e-5)
+
+    g = jax.grad(lambda p: jnp.sum(loss_s(apply_mask(mask, p))))(packed)
+    for m, gl in zip(jax.tree_util.tree_leaves(mask),
+                     jax.tree_util.tree_leaves(g)):
+        np.testing.assert_array_equal(np.asarray(gl)[np.asarray(m) == 0],
+                                      0.0)
+    for s in range(S):
+        gs = extract_member(model, g, S, s)
+        ref_g = jax.grad(ref_loss)(members[s])
+        for a, b in zip(jax.tree_util.tree_leaves(gs),
+                        jax.tree_util.tree_leaves(ref_g)):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-8)
+
+
+def test_adaptive_reduce_fn_requires_n_members():
+    """ADVICE r4: a packed ensemble trained with solve_mode='adaptive'
+    must not silently couple members through one shared controller."""
+    cfg = LVConfig(solve_mode="adaptive")
+    data = make_data(cfg)
+    model = make_model(cfg)
+    with pytest.raises(ValueError, match="n_members"):
+        make_ode_fns(cfg, model, data, reduce_fn=member_mean(2))
+
+
 def test_packed_rejects_trainable_grid_and_vector_sparse():
     model = make_model(LVConfig())
     bad = dataclasses.replace(model.layers[0], trainable_grid=True)
