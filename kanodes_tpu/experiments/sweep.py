@@ -172,6 +172,95 @@ def run_sweep(points=KAN_SWEEP + MLP_SWEEP, **kw) -> list[dict]:
     return results
 
 
+def packed_trend_sweep(points=KAN_SWEEP, *, shooting_iters: int = 10_000,
+                       seg4_iters: int = 6_000, traj_iters: int = 6_000,
+                       seed: int = 0, lr_factors=None,
+                       on_phase=None) -> dict[str, Any]:
+    """The Fig-3C KAN d=2 trend sweep as ONE device program.
+
+    The reference produced this study by hand-editing sizes and
+    re-running 1e5 CPU iterations per point (`trend_plotter.py:7-8`);
+    `run_sweep` already collapses that to seconds per point but still
+    trains the sizes sequentially (shapes differ). Here all sizes train
+    SIMULTANEOUSLY: the member chains — different hidden widths AND
+    different grid sizes — pack block-diagonally into one heterogeneous
+    chain (`models.packed.HeteroPacked`, variable-size blocks, per-row
+    grids), the member axis rides the GEMM width, and the whole
+    curriculum is a handful of `train()` calls on one packed param tree.
+    This cashes SURVEY §2.9's DP promise ("train the A2 sweep of KAN
+    sizes as one sharded vmap") in its stronger packed form.
+
+    `lr_factors` optionally trains members under per-member learning
+    rates (`train(..., lr_scales=...)`); the default recipe is the
+    `train_point` KAN curriculum shared by all members.
+
+    Returns {"results": [per-point dicts matching run_sweep's schema],
+    "total_seconds", "phase_seconds"}.
+    """
+    cfgs = [lv_mod.LVConfig(model="kan", seed=seed,
+                            layer_width=p.layer_width,
+                            grid_size=p.grid_size, impl="xla")
+            for p in points]
+    if any(p.model != "kan" or p.kan_depth != 2 for p in points):
+        raise ValueError("packed trend sweep covers the 2-layer KAN "
+                         "points (MLPs have no packing analogue here)")
+    base = cfgs[0]
+    data = lv_mod.make_data(base)
+    members = [lv_mod.make_model(c) for c in cfgs]
+    from kanodes_tpu.models.packed import HeteroPacked
+    hp = HeteroPacked(members)
+    inits = [lv_mod.init_params(c, m) for c, m in zip(cfgs, members)]
+    params = hp.pack(inits)
+    mask = hp.mask()
+    pdata = {"ts": data["ts"], "X": hp.tile_state(data["X"]),
+             "n_train": data["n_train"]}
+    reduce_fn = hp.member_mean()
+    lr_scales = None if lr_factors is None else hp.lr_scales(lr_factors)
+
+    from kanodes_tpu.models.packed import apply_mask
+    from kanodes_tpu.train.loop import TrainConfig, train
+
+    phases = [
+        dataclasses.replace(base, solve_mode="shooting", segment_len=1,
+                            lr=3e-3, iters=shooting_iters),
+        dataclasses.replace(base, solve_mode="shooting", segment_len=4,
+                            lr=1e-3, iters=seg4_iters),
+        dataclasses.replace(base, solve_mode="fixed", lr=3e-4,
+                            iters=traj_iters),
+    ]
+    t0 = time.time()
+    phase_secs = []
+    for pi, cfg in enumerate(phases):
+        loss_s, eval_s, _ = lv_mod.make_ode_fns(cfg, hp, pdata,
+                                                reduce_fn=reduce_fn)
+        tp = time.time()
+        out = train(lambda p: loss_s(apply_mask(mask, p)), params,
+                    TrainConfig(lr=cfg.lr, iters=cfg.iters,
+                                eval_every=cfg.iters),
+                    stacked=False, lr_scales=lr_scales)
+        jax.block_until_ready(out["loss_history"])
+        params = out["params"]
+        phase_secs.append(round(time.time() - tp, 2))
+        if on_phase is not None:
+            on_phase(pi, out)
+    total = time.time() - t0
+
+    results = []
+    for s, (p, c, m) in enumerate(zip(points, cfgs, members)):
+        mp = hp.extract_member(params, s)
+        eval_cfg = dataclasses.replace(c, solve_mode="fixed")
+        loss_fn, eval_fn, _ = lv_mod.make_ode_fns(eval_cfg, m, data)
+        results.append({
+            "model": "kan", "depth": 2,
+            "layer_width": p.layer_width, "grid_size": p.grid_size,
+            "n_params": m.num_params(),
+            "train_loss": float(loss_fn(mp)),
+            "test_loss": float(eval_fn(mp)),
+        })
+    return {"results": results, "total_seconds": round(total, 2),
+            "phase_seconds": phase_secs, "n_members": len(points)}
+
+
 def ensemble_seeds(n: int = 8, *, iters: int = 5000, lr: float = 3e-3,
                    mesh=None) -> dict:
     """Train n same-shape LV KAN replicas (different inits) as ONE

@@ -144,8 +144,43 @@ def clip_by_member_norm(max_norm: float) -> optax.GradientTransformation:
     return optax.GradientTransformation(init, update)
 
 
+def scale_by_tree(scale_tree) -> optax.GradientTransformation:
+    """Elementwise-multiply updates by a fixed pytree of scale factors
+    (leaves broadcastable against the update leaves).
+
+    The per-member-learning-rate mechanism for ensembles: the GLOBAL lr
+    stays the injected runtime hyperparameter (`make_optimizer`), and
+    this transform carries only the per-member RELATIVE factors — Adam's
+    direction is lr-independent, so `adam(lr) . scale_by(r_s)` steps
+    member s exactly like `adam(lr * r_s)` would. The factors are
+    compile-time constants: changing them recompiles (changing the
+    global lr does not), which fits the sweep usage where relative
+    factors are fixed per program."""
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        return jax.tree_util.tree_map(
+            lambda u, s: u * s, updates, scale_tree), state
+
+    return optax.GradientTransformation(init, update)
+
+
+def stacked_lr_scales(params, factors):
+    """Per-member lr-factor tree for the STACKED layout: leaf s of every
+    param gets `factors[s]` (broadcast over trailing axes). Feed to
+    `train(..., lr_scales=...)`; packed layouts use
+    `models.packed.member_lr_scales` instead."""
+    f = jnp.asarray(factors)
+    return jax.tree_util.tree_map(
+        lambda x: f.reshape(f.shape + (1,) * (x.ndim - 1)), params)
+
+
 def make_optimizer(cfg: TrainConfig,
-                   member_clip: bool = False) -> optax.GradientTransformation:
+                   member_clip: bool = False,
+                   lr_scales=None) -> optax.GradientTransformation:
     """The learning rate is INJECTED as a runtime hyperparameter (it
     lives in opt_state, not in the compiled program): training phases
     that differ only in lr then lower to byte-identical HLO, so the
@@ -155,7 +190,8 @@ def make_optimizer(cfg: TrainConfig,
     training chunk is ~38-70 s.
 
     `member_clip=True` replaces global-norm clipping by the per-member
-    variant (stacked ensembles; see `clip_by_member_norm`)."""
+    variant (stacked ensembles; see `clip_by_member_norm`). `lr_scales`
+    appends a `scale_by_tree` stage (per-member learning rates)."""
     if cfg.optimizer == "adam":
         opt = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr)
     elif cfg.optimizer == "adamw":
@@ -165,6 +201,8 @@ def make_optimizer(cfg: TrainConfig,
         opt = optax.inject_hyperparams(optax.sgd)(learning_rate=cfg.lr)
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    if lr_scales is not None:
+        opt = optax.chain(opt, scale_by_tree(lr_scales))
     if cfg.grad_clip is not None:
         clip = (clip_by_member_norm(cfg.grad_clip) if member_clip
                 else optax.clip_by_global_norm(cfg.grad_clip))
@@ -181,7 +219,8 @@ def train(loss_fn: Callable[[Any], Array],
           on_chunk: Callable[[int, dict], None] | None = None,
           opt_state=None,
           compile_only: bool = False,
-          stacked: bool | None = None):
+          stacked: bool | None = None,
+          lr_scales=None):
     """Run `cfg.iters` optimization steps fully on device.
 
     Args:
@@ -235,6 +274,12 @@ def train(loss_fn: Callable[[Any], Array],
     best_params from per-member argmin slices along a non-member axis.
     Pass it explicitly when the layout is known.
 
+    `lr_scales`: per-member learning-rate factors as a pytree matching
+    `params` with broadcastable leaves (build with `stacked_lr_scales`
+    or `models.packed.member_lr_scales`). Member s trains exactly as it
+    would under `adam(cfg.lr * factor_s)` — heterogeneous-recipe
+    ensembles in one device program (SURVEY §2.9's DP promise).
+
     Returns dict with final/best params, per-iter train-loss history and
     per-eval metric history.
     """
@@ -261,7 +306,8 @@ def train(loss_fn: Callable[[Any], Array],
             "grad_clip with a vector (multi-member) loss requires the "
             "stacked layout (per-member clipping); a global norm would "
             "silently couple the members")
-    opt = make_optimizer(cfg, member_clip=(lshape != () and stacked_layout))
+    opt = make_optimizer(cfg, member_clip=(lshape != () and stacked_layout),
+                         lr_scales=lr_scales)
     if opt_state is None:
         opt_state = opt.init(params)
 
@@ -280,9 +326,19 @@ def train(loss_fn: Callable[[Any], Array],
     # machine because every fresh jit callable re-runs the Mosaic remote
     # kernel compiles (~45-70 s for the fused-kernel chunks) even when
     # the XLA disk cache is warm.
+    lr_key = None
+    if lr_scales is not None:
+        # the scale factors are closure CONSTANTS of the compiled chunk
+        # (see scale_by_tree) — key the memo by their bytes
+        import numpy as _np
+        h = hashlib.sha256()
+        for leaf in jax.tree_util.tree_leaves(lr_scales):
+            arr = _np.asarray(leaf)
+            h.update(str(arr.shape).encode() + arr.tobytes())
+        lr_key = h.hexdigest()
     cache_key = (loss_fn, eval_fn, inner, evals_per_call, track_best,
                  record_history, cfg.optimizer, cfg.grad_clip,
-                 cfg.weight_decay, lshape, stacked_layout)
+                 cfg.weight_decay, lshape, stacked_layout, lr_key)
     run_chunk = _RUN_CHUNK_CACHE.get(cache_key)
     if run_chunk is None:
         if lshape == ():

@@ -181,6 +181,29 @@ def test_explicit_stacked_kwarg():
         train(lambda p: jnp.sum(p ** 2), jnp.zeros(3), cfg, stacked=True)
 
 
+def test_stacked_lr_scales_parity():
+    """Per-member learning rates in stacked vector mode: member s
+    follows the exact Adam trajectory of a scalar run at lr*factor_s."""
+    from kanodes_tpu.train.loop import stacked_lr_scales
+    cfg = TrainConfig(lr=0.2, iters=50, eval_every=50)
+    p0 = jnp.stack([jnp.zeros(3), jnp.ones(3), -jnp.ones(3)])
+    factors = jnp.asarray([1.0, 0.1, 2.5])
+
+    def loss_vec(p):
+        return jax.vmap(_member_loss)(p, TARGETS)
+
+    out = train(loss_vec, p0, cfg, lr_scales=stacked_lr_scales(p0, factors))
+    for s in range(3):
+        ref = train(lambda p, t=TARGETS[s]: _member_loss(p, t), p0[s],
+                    TrainConfig(lr=0.2 * float(factors[s]), iters=50,
+                                eval_every=50))
+        np.testing.assert_allclose(out["loss_history"][:, s],
+                                   ref["loss_history"], rtol=1e-5,
+                                   atol=1e-7)
+        np.testing.assert_allclose(member_params(out["params"], s),
+                                   ref["params"], rtol=1e-5, atol=1e-6)
+
+
 def test_init_stacked_shapes():
     cfg = LVConfig()
     model = make_model(cfg)

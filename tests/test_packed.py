@@ -271,6 +271,137 @@ def test_adaptive_reduce_fn_requires_n_members():
         make_ode_fns(cfg, model, data, reduce_fn=member_mean(2))
 
 
+def test_member_lr_scales_packed_parity():
+    """Per-member learning rates on the homogeneous packed layout:
+    member s's Adam trajectory equals a scalar run at lr * factor_s."""
+    from kanodes_tpu.models.packed import member_lr_scales
+    (cfg, data, model, members, packed_model, packed,
+     pdata) = _lv_setup(solve_mode="shooting", impl="xla")
+    loss_s, eval_s, _ = make_ode_fns(cfg, packed_model, pdata,
+                                     reduce_fn=member_mean(S))
+    mask = block_mask(model, S)
+    factors = [1.0, 0.25, 3.0]
+    base_lr = 2e-3
+    out = train(lambda p: loss_s(apply_mask(mask, p)), packed,
+                TrainConfig(lr=base_lr, iters=30, eval_every=30),
+                stacked=False,
+                lr_scales=member_lr_scales(model, factors))
+    for s in range(S):
+        ref_loss, _, _ = make_ode_fns(cfg, model, data)
+        ref = train(ref_loss, members[s],
+                    TrainConfig(lr=base_lr * factors[s], iters=30,
+                                eval_every=30))
+        np.testing.assert_allclose(out["loss_history"][:, s],
+                                   ref["loss_history"], rtol=2e-4)
+        got = extract_member(model, out["params"], S, s)
+        for a, b in zip(jax.tree_util.tree_leaves(got),
+                        jax.tree_util.tree_leaves(ref["params"])):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-7)
+
+
+def _hetero_setup(widths=(4, 6), grids=(3, 5)):
+    from kanodes_tpu.models.packed import HeteroPacked
+    cfgs = [LVConfig(layer_width=w, grid_size=g)
+            for w, g in zip(widths, grids)]
+    members = [make_model(c) for c in cfgs]
+    hp = HeteroPacked(members)
+    inits = [jax.tree_util.tree_map(lambda x: x * 1e-2,
+                                    m.init(jax.random.PRNGKey(s)))
+             for s, m in enumerate(members)]
+    return cfgs, members, hp, inits
+
+
+def test_hetero_pack_forward_and_grads():
+    """Members of DIFFERENT hidden widths and grid sizes packed into one
+    chain: exact per-member forwards, loss vector, gradient isolation."""
+    cfgs, members, hp, inits = _hetero_setup()
+    packed = hp.pack(inits)
+    # layer shapes: variable-size blocks, grid padded to max
+    assert packed[0]["C"].shape == (4, 5, 10)      # 2+2 in, 4+6 out
+    assert packed[1]["C"].shape == (10, 5, 4)
+    # roundtrip
+    for s in range(2):
+        got = hp.extract_member(packed, s)
+        for a, b in zip(jax.tree_util.tree_leaves(got),
+                        jax.tree_util.tree_leaves(inits[s])):
+            np.testing.assert_array_equal(a, b)
+    # forward parity (note mask not even needed on freshly packed params)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (7, 2), minval=0.1,
+                           maxval=2.0)
+    y = hp.apply(packed, hp.tile_state(x))
+    for s in range(2):
+        np.testing.assert_allclose(y[:, 2 * s:2 * s + 2],
+                                   members[s].apply(inits[s], x),
+                                   rtol=2e-5, atol=1e-7)
+    # loss + grads through the LV objective
+    cfg = LVConfig(solve_mode="shooting", impl="xla", segment_len=2)
+    data = make_data(cfg)
+    pdata = {"ts": data["ts"], "X": hp.tile_state(data["X"]),
+             "n_train": data["n_train"]}
+    loss_s, eval_s, _ = make_ode_fns(cfg, hp, pdata,
+                                     reduce_fn=hp.member_mean())
+    mask = hp.mask()
+    vec = loss_s(apply_mask(mask, packed))
+    g = jax.grad(lambda p: jnp.sum(loss_s(apply_mask(mask, p))))(packed)
+    for s in range(2):
+        ref_l, _, _ = make_ode_fns(cfg, members[s], data)
+        np.testing.assert_allclose(vec[s], ref_l(inits[s]), rtol=3e-5)
+        gs = hp.extract_member(g, s)
+        ref_g = jax.grad(ref_l)(inits[s])
+        for a, b in zip(jax.tree_util.tree_leaves(gs),
+                        jax.tree_util.tree_leaves(ref_g)):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-8)
+    # off-block (and padded-grid-column) gradients are exact zeros
+    for m, gl in zip(jax.tree_util.tree_leaves(mask),
+                     jax.tree_util.tree_leaves(g)):
+        np.testing.assert_array_equal(np.asarray(gl)[np.asarray(m) == 0],
+                                      0.0)
+
+
+def test_hetero_rejects_mixed_basis():
+    from kanodes_tpu.models.packed import HeteroPacked
+    with pytest.raises(ValueError, match="basis"):
+        HeteroPacked([make_model(LVConfig(basis="rbf")),
+                      make_model(LVConfig(basis="iqf"))])
+
+
+def test_packed_trend_sweep_matches_sequential_curriculum():
+    """A 2-size mini trend sweep trained as one packed program matches
+    the same curriculum run per member."""
+    import dataclasses as dc
+
+    from kanodes_tpu.experiments.sweep import SweepPoint, packed_trend_sweep
+    pts = (SweepPoint("kan", layer_width=4, grid_size=3),
+           SweepPoint("kan", layer_width=5, grid_size=5))
+    out = packed_trend_sweep(pts, shooting_iters=30, seg4_iters=20,
+                             traj_iters=20)
+    assert out["n_members"] == 2 and len(out["results"]) == 2
+    assert out["results"][0]["n_params"] == 64
+    assert out["results"][1]["n_params"] == 120
+
+    for s, p in enumerate(pts):
+        cfg = LVConfig(model="kan", layer_width=p.layer_width,
+                       grid_size=p.grid_size, impl="xla")
+        data = make_data(cfg)
+        model = make_model(cfg)
+        from kanodes_tpu.experiments.lv import init_params
+        params = init_params(cfg, model)
+        for mode, seg, lr, iters in [("shooting", 1, 3e-3, 30),
+                                     ("shooting", 4, 1e-3, 20),
+                                     ("fixed", 1, 3e-4, 20)]:
+            c = dc.replace(cfg, solve_mode=mode, segment_len=seg, lr=lr)
+            loss_fn, _, _ = make_ode_fns(c, model, data)
+            r = train(loss_fn, params,
+                      TrainConfig(lr=lr, iters=iters, eval_every=iters))
+            params = r["params"]
+        eval_cfg = dc.replace(cfg, solve_mode="fixed")
+        loss_fn, eval_fn, _ = make_ode_fns(eval_cfg, model, data)
+        np.testing.assert_allclose(out["results"][s]["train_loss"],
+                                   float(loss_fn(params)), rtol=2e-3)
+        np.testing.assert_allclose(out["results"][s]["test_loss"],
+                                   float(eval_fn(params)), rtol=2e-3)
+
+
 def test_packed_rejects_trainable_grid_and_vector_sparse():
     model = make_model(LVConfig())
     bad = dataclasses.replace(model.layers[0], trainable_grid=True)
