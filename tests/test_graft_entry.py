@@ -67,8 +67,10 @@ def test_dryrun_multichip_driver_sim():
                          capture_output=True, text=True, timeout=600)
     assert res.returncode == 0, res.stderr[-2000:]
     assert "dryrun_multichip ok" in res.stdout
-    # all four sharded driver modes ran (incl. the PINN dp batch mode)
+    # all five sharded driver modes ran (incl. the PINN dp batch mode
+    # and the member-sharded LV seed ensemble)
     assert "PINN trained on dp=8" in res.stdout
+    assert "LV seed ensemble (16 members) trained on dp=8" in res.stdout
 
 
 @pytest.mark.slow
