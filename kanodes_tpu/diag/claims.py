@@ -1,7 +1,9 @@
 """Claims ledger: every headline number re-derived from its artifact.
 
-The README/EXPERIMENTS tables carry ~30 measured numbers. Nothing in
-the reference guards such claims (its numbers live in the paper); here
+The README/EXPERIMENTS tables carry dozens of measured numbers (the
+registry below is the authoritative count — `python -m kanodes_tpu
+claims` prints it). Nothing in the reference guards such claims (its
+numbers live in the paper); here
 every headline claim is registered with (a) the committed artifact that
 evidences it and (b) a derivation from that artifact, and
 ``python -m kanodes_tpu claims`` fails when a doc number and its
@@ -74,6 +76,30 @@ def _cmp(claimed, derived, rtol) -> bool:
 # --------------------------------------------------------------------------
 # deep derivations: reload deliverable params, rebuild, recompute
 # --------------------------------------------------------------------------
+
+def _backend() -> str:
+    """Expectation key for backend-keyed deep checks: every deliverable
+    artifact stores the recompute value measured on each backend
+    (`scripts/record_recompute.py`), and the deep check asserts <=5%
+    against the MATCHING backend — cross-backend f32 forward rounding
+    (measured 25-30% at the 1e-8 LV floor, up to ~4x at the 1e-14
+    surrogate floor) never enters the tolerance."""
+    import jax
+    return "cpu" if jax.default_backend() == "cpu" else "tpu"
+
+
+def _expected(row: dict, field: str):
+    """The stored recompute expectation for this backend, or None (not
+    recorded yet — the deep check then FAILS with a pointer to the
+    recording script rather than passing vacuously)."""
+    return row.get("recompute", {}).get(_backend(), {}).get(field)
+
+
+def _within(got: float, expected, rtol: float = 0.05) -> bool:
+    if expected is None:
+        return False
+    return bool(np.isclose(got, float(expected), rtol=rtol, atol=0.0))
+
 
 def _lv_recompute(basis: str) -> tuple[float, float]:
     """(train_mse, test_mse) of the committed polished LV params through
@@ -291,20 +317,23 @@ def _claims() -> list[Claim]:
               "artifacts/pinn_adaptive_diagnostics.json", True,
               lambda a: a["all_gates_pass"]),
         # ---- deep: reload deliverable params, recompute the records ----
-        Claim("deep_lv_rbf", "lv_best.json values reproduce from params",
+        Claim("deep_lv_rbf",
+              "lv_best.json reproduces from params: <=5% against the "
+              "recompute value stored for THIS backend at record time "
+              "(scripts/record_recompute.py), plus record-classness",
               "artifacts/lv_best.json",
               True,
               lambda a: _deep_lv("rbf", _by("basis", "rbf", a)),
               deep=True),
-        Claim("deep_lv_iqf", "lv_best.json values reproduce from params",
+        Claim("deep_lv_iqf",
+              "lv_best.json reproduces from params (backend-keyed <=5%)",
               "artifacts/lv_best.json",
               True,
               lambda a: _deep_lv("iqf", _by("basis", "iqf", a)),
               deep=True),
         Claim("deep_burgers",
-              "surrogate_best.json reproduces from params (within 5x: "
-              "1e-14-class MSEs sit at f32 eps^2, where cross-backend "
-              "forward rounding is visible)",
+              "surrogate_best.json reproduces from params: cross-flow "
+              "XLA recompute <=5% against this backend's stored value",
               "artifacts/surrogate_best.json",
               True,
               lambda a: _deep_surrogate(
@@ -312,105 +341,109 @@ def _claims() -> list[Claim]:
               deep=True),
         Claim("deep_schrodinger_seed1",
               "surrogate_fast_seed1.json reproduces from params: "
-              "record-class through the cross-flow CPU XLA forward "
-              "(<1e-6, the measured independent-f32-integrator "
-              "disagreement floor for these 300-step dispersive "
-              "rollouts — EXPERIMENTS.md surrogates note) AND "
-              "bit-level through the fused flow on the v5e "
-              "(remeasured_fused_tpu_mse in the artifact)",
+              "cross-flow XLA recompute <=5% vs this backend's stored "
+              "value AND (on TPU) the fused-flow MSE RECOMPUTED from "
+              "the committed params matches the claimed record to 1% "
+              "(on CPU this leg falls back to the stored TPU fused "
+              "recompute — artifact-level consistency only)",
               "artifacts/surrogate_fast_seed1.json",
               True,
-              lambda a: _deep_schrodinger_seed1(
-                  _by("problem", "schrodinger", a)),
+              lambda a: _deep_record_class(
+                  "schrodinger", _by("problem", "schrodinger", a),
+                  "artifacts/schrodinger_fast_seed1_polished_params.npy"),
               deep=True),
         Claim("deep_ac2d_seed4",
-              "surrogate_fast_seed4.json reproduces from params: "
-              "record-class through the cross-flow CPU XLA forward "
-              "(<1e-8, ~30x above the measured 2.8e-10 cross-backend "
-              "disagreement of these 96-step 4096-dim rollouts — "
-              "cross_flow_cpu_xla_mse in the artifact) AND bit-level "
-              "through the fused flow on the v5e "
-              "(remeasured_fused_tpu_mse)",
+              "surrogate_fast_seed4.json reproduces from params "
+              "(same two-sided pattern as the Schrödinger record)",
               "artifacts/surrogate_fast_seed4.json",
               True,
-              lambda a: _deep_ac2d_seed4(
-                  _by("problem", "allen_cahn_2d", a)),
+              lambda a: _deep_record_class(
+                  "allen_cahn_2d", _by("problem", "allen_cahn_2d", a),
+                  "artifacts/allen_cahn_2d_fast_seed4_polished_params.npy"),
               deep=True),
     ]
 
 
+def _surrogate_recompute_fused(problem: str, params_rel: str) -> float:
+    """Snapshot MSE through the SAME flow the record was measured with:
+    the fused fixed-mode forward at the record's solver config
+    (scripts/surrogate_best.py's `cfg_hi`). The genuine reproduction —
+    run on TPU; CPU interpret-mode is equivalent but slow."""
+    import dataclasses as dc
+
+    from kanodes_tpu.experiments.pde_surrogate import (SurrogateConfig,
+                                                       make_data,
+                                                       make_fns, make_model)
+
+    solver, substeps = {"burgers": ("tsit5", 20)}.get(problem, ("rk4", 24))
+    cfg = SurrogateConfig(problem=problem, impl="fused", rk_solver=solver,
+                          substeps=substeps, solve_mode="fixed",
+                          bwd_precision="highest")
+    data = make_data(cfg)
+    model = make_model(cfg, data)
+    params = _load_params(params_rel)
+    loss, _, _ = make_fns(cfg, model, data)
+    return float(loss(params))
+
+
 def _deep_lv(basis: str, row: dict) -> bool:
-    """Bounds are CROSS-BACKEND honest: the records were measured on the
-    v5e (HIGHEST-precision MXU emulation); the pytest recompute runs on
-    CPU f32 with a different op order. Measured drift of the SAME params
-    (2026-08-19): train MSE agrees to ~25-30% at the 1e-8 floor; the
-    full-horizon test MSE — chaotic amplification over the extrapolation
-    horizon — lands 2.6x BETTER on CPU. So: train within 3x AND still
-    record-class (≥10x under the 8.3e-7 reference), test within 3x in
-    either direction. On-TPU recompute matches json to <5%."""
+    """Backend-keyed: the artifact stores the recompute value of the
+    committed params on EACH backend (`scripts/record_recompute.py`);
+    the check asserts <=5% against the matching backend plus
+    record-classness (train >=10x under the 8.3e-7 reference trend
+    point). A 3x param-file regression now fails on every backend."""
     train, test = _lv_recompute(basis)
-    t_json, e_json = row["polished_train_mse"], row["polished_test_mse"]
-    ok = (train < 3.0 * t_json and train < 8.3e-7 / 10.0
-          and e_json / 3.0 < test < 3.0 * e_json)
+    ok = (_within(train, _expected(row, "train_mse"))
+          and _within(test, _expected(row, "test_mse"))
+          and train < 8.3e-7 / 10.0)
     if not ok:
-        print(f"  deep_lv_{basis}: recomputed train {train:.3e} "
-              f"test {test:.3e} vs json {t_json:.3e} / {e_json:.3e}")
+        print(f"  deep_lv_{basis} [{_backend()}]: recomputed train "
+              f"{train:.3e} test {test:.3e} vs stored "
+              f"{_expected(row, 'train_mse')} / "
+              f"{_expected(row, 'test_mse')} "
+              "(missing? run scripts/record_recompute.py)")
     return ok
 
 
 def _deep_surrogate(problem: str, row: dict,
                     params_rel: str | None = None) -> bool:
-    """Within 5x: 1e-14-class MSEs sit at f32 eps^2, where CPU-vs-TPU
-    and fused-vs-XLA forward rounding is a few x (measured 4.35x for
-    the Burgers record params on CPU; <3x on the v5e)."""
+    """Backend-keyed <=5% against the stored cross-flow recompute value
+    for this backend (the 1e-14-class record itself lives at f32 eps^2
+    where cross-backend/cross-flow rounding is a few x — that spread
+    was measured ONCE at record time and frozen into the artifact)."""
     mse = _surrogate_recompute(problem, params_rel)
-    ref = row["polished_snapshot_mse"]
-    ok = mse < 5.0 * ref
+    ok = _within(mse, _expected(row, "snapshot_mse"))
     if not ok:
-        print(f"  deep_{problem}: recomputed {mse:.3e} vs json {ref:.3e}")
+        print(f"  deep_{problem} [{_backend()}]: recomputed {mse:.3e} "
+              f"vs stored {_expected(row, 'snapshot_mse')} "
+              "(missing? run scripts/record_recompute.py)")
     return ok
 
 
-def _deep_schrodinger_seed1(row: dict) -> bool:
-    """The Schrödinger record cannot be reproduced to 1e-14 through a
-    DIFFERENT discrete flow: independent f32 integrators disagree at
-    ~1e-7 MSE over these 300-step dispersive rollouts (measured,
-    EXPERIMENTS.md). So the deep check is two-sided: (a) the reloaded
-    params are record-class through the cross-flow CPU XLA forward
-    (<1e-6), and (b) the SAME-flow fused recompute on the v5e
-    (2026-08-19: bit-exact 2.186197e-14) is recorded in the artifact
-    and matches the claimed record to 1%."""
-    mse = _surrogate_recompute(
-        "schrodinger",
-        "artifacts/schrodinger_fast_seed1_polished_params.npy")
-    fused = row["remeasured_fused_tpu_mse"]
-    ok = (mse < 1e-6
-          and np.isclose(fused, row["polished_snapshot_mse"], rtol=1e-2))
+def _deep_record_class(problem: str, row: dict, params_rel: str,
+                       fused_rtol: float = 1e-2) -> bool:
+    """Two-sided deep check for the floor-level records:
+      (a) cross-flow XLA recompute matches the stored value for THIS
+          backend to <=5% (regression guard on params + XLA forward);
+      (b) on TPU, the record is genuinely REPRODUCED: the fused-flow
+          MSE is recomputed from the committed params (not read back
+          from the artifact) and must match the claimed
+          polished_snapshot_mse to 1%. On CPU, (b) falls back to the
+          stored TPU fused recompute vs the claim (artifact-level
+          consistency only — stated honestly in the claim text)."""
+    mse = _surrogate_recompute(problem, params_rel)
+    ok = _within(mse, _expected(row, "snapshot_mse"))
+    if _backend() == "tpu":
+        fused = _surrogate_recompute_fused(problem, params_rel)
+    else:
+        fused = row.get("recompute", {}).get("tpu", {}).get("fused_mse")
+    ok = ok and fused is not None and bool(
+        np.isclose(fused, row["polished_snapshot_mse"], rtol=fused_rtol))
     if not ok:
-        print(f"  deep_schrodinger_seed1: cross-flow {mse:.3e}, "
-              f"fused-tpu {fused:.3e} vs json "
-              f"{row['polished_snapshot_mse']:.3e}")
-    return ok
-
-
-def _deep_ac2d_seed4(row: dict) -> bool:
-    """Same two-sided pattern as the Schrödinger record: 1e-15-class
-    MSEs do not survive a DIFFERENT discrete flow (measured 2.8e-10
-    cross-backend disagreement for these 96-step 4096-dim rollouts), so
-    (a) the reloaded params must be record-class through the cross-flow
-    CPU XLA forward (<1e-8) and (b) the SAME-flow fused recompute on
-    the v5e (2026-08-19: bit-exact 2.1336815e-15) is recorded in the
-    artifact and must match the claimed record to 1%."""
-    mse = _surrogate_recompute(
-        "allen_cahn_2d",
-        "artifacts/allen_cahn_2d_fast_seed4_polished_params.npy")
-    fused = row["remeasured_fused_tpu_mse"]
-    ok = (mse < 1e-8
-          and np.isclose(fused, row["polished_snapshot_mse"], rtol=1e-2))
-    if not ok:
-        print(f"  deep_ac2d_seed4: cross-flow {mse:.3e}, "
-              f"fused-tpu {fused:.3e} vs json "
-              f"{row['polished_snapshot_mse']:.3e}")
+        print(f"  deep_{problem} [{_backend()}]: cross-flow {mse:.3e} "
+              f"vs stored {_expected(row, 'snapshot_mse')}; fused "
+              f"{fused} vs claim {row['polished_snapshot_mse']:.3e} "
+              "(missing? run scripts/record_recompute.py)")
     return ok
 
 
