@@ -196,6 +196,28 @@ def _claims() -> list[Claim]:
               "2.42 s (~2.9k it/s, ~6x the vmapped rung)",
               "artifacts/lv_multiseed_packed.json", 2.42,
               lambda a: a["phase_seconds"][3]),
+        Claim("packed_wide_first_load",
+              "EXPERIMENTS: wide-kernel packed fresh-process first "
+              "execution (AOT hit, 5k-iter program) best 12.7 s",
+              "artifacts/packed_load_ab.json", 12.67,
+              lambda a: min(r["first_s"] for r in a
+                            if r["variant"] == "packed_wide"
+                            and r["iters"] == 5000 and r["aot_hit"])),
+        Claim("packed_fused_first_load",
+              "EXPERIMENTS: standard-kernel packed fresh-process first "
+              "execution (AOT hit, 5k-iter program) best 98.2 s — the "
+              "wide flavor's 4-10x win is the round-5 mitigation",
+              "artifacts/packed_load_ab.json", 98.23,
+              lambda a: min(r["first_s"] for r in a
+                            if r["variant"] == "packed_fused"
+                            and r["iters"] == 5000 and r["aot_hit"])),
+        Claim("packed_wide_steady",
+              "EXPERIMENTS: wide-kernel packed steady state 0.197 s per "
+              "5000 S=8 ensemble iterations (~25k it/s, min of 5)",
+              "artifacts/packed_load_ab.json", 0.197,
+              lambda a: min(r["second_s"] for r in a
+                            if r["variant"] == "packed_wide"
+                            and r["iters"] == 5000)),
         Claim("lv_adaptive_faithful",
               "README: reference-regime adaptive run (XLA path) 6.6e-7",
               "artifacts/lv_adaptive_full.json", 6.6e-7,

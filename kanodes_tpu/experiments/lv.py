@@ -86,7 +86,10 @@ class LVConfig:
     adjoint: str = "direct"
     # xla: plain jnp RHS | pallas: fused chain-RHS kernel | fused:
     # whole-RK-step kernels (fixed/shooting) or the whole-adaptive-solve
-    # kernel (adaptive mode) — fastest everywhere
+    # kernel (adaptive mode) — fastest everywhere | fused_wide: the
+    # grid-sliced wide-layer kernel flavor (ops/rk_fused_wide) for
+    # wide/packed chains, whose smaller kernel body avoids the measured
+    # 85-300 s Mosaic first-load of wide standard kernels
     impl: str = "xla"
     # fused-kernel backward dot precision: "highest" (exact f32) |
     # "bf16" (1-pass MXU dots; forward stays exact f32). See
@@ -180,8 +183,9 @@ def make_ode_fns(cfg: LVConfig, model, data, *, reduce_fn=None,
     ts_train = ts[:n_train]
     u0 = X[0]
 
-    use_fused = cfg.impl == "fused" and cfg.model == "kan"
-    if use_fused:
+    use_fused = cfg.impl in ("fused", "fused_wide") and cfg.model == "kan"
+    wide = cfg.impl == "fused_wide"
+    if use_fused and not wide:
         from kanodes_tpu.ops.kdense_pallas import chain_spec_of, fused_params
         from kanodes_tpu.ops.rk_fused import fused_rk_step
         spec = chain_spec_of(model)
@@ -195,6 +199,22 @@ def make_ode_fns(cfg: LVConfig, model, data, *, reduce_fn=None,
                 x = fused_rk_step(spec, "tsit5", h, x, *fp,
                                   None, cfg.bwd_precision)
             return x
+    elif wide:
+        # the grid-sliced wide-layer kernel flavor (ops/rk_fused_wide):
+        # built for wide-state chains, exposed here because PACKED
+        # ensembles widen the hidden layer (S*10 at S=8) and the
+        # standard kernels' Mosaic binaries were measured to pay an
+        # 85-300 s first-load through the axon tunnel at that width
+        # (CLAUDE.md gotchas) — the wide kernels slice the basis
+        # expansion per grid node instead of unrolling an O(I^2 G)
+        # expansion GEMM, a much smaller kernel body.
+        from kanodes_tpu.ops.rk_fused_wide import wide_chain_adapter
+        h = cfg.dt / cfg.substeps
+        ws, _advance = wide_chain_adapter(model, solver="tsit5",
+                                          bwd_precision=cfg.bwd_precision)
+
+        def fused_interval(params, x):
+            return _advance(params, x, h, cfg.substeps)
 
     if cfg.impl == "pallas" and cfg.model == "kan":
         from kanodes_tpu.ops.kdense_pallas import kan_chain_rhs
@@ -226,6 +246,9 @@ def make_ode_fns(cfg: LVConfig, model, data, *, reduce_fn=None,
                                     rtol=cfg.rtol, atol=cfg.atol,
                                     max_steps=ms)
                 return ys
+            if wide:
+                raise ValueError("adaptive mode has no wide-kernel "
+                                 "flavor; use impl='fused' or 'xla'")
             if use_fused:
                 # whole bounded controller loop + its discrete adjoint
                 # as ONE kernel launch each (ops/rk_adaptive_fused);
@@ -244,6 +267,20 @@ def make_ode_fns(cfg: LVConfig, model, data, *, reduce_fn=None,
             return odeint(rhs, u0, t_grid, params, solver="tsit5",
                           rtol=cfg.rtol, atol=cfg.atol,
                           max_steps=ms, adjoint=cfg.adjoint)
+        if wide:
+            from kanodes_tpu.ops.kdense_pallas import fused_params
+            from kanodes_tpu.ops.rk_fused_wide import \
+                fused_rk_multistep_wide
+            n_steps = (t_grid.shape[0] - 1) * cfg.substeps
+            xp = jnp.pad(u0[None], ((0, 0), (0, ws.Ipad - ws.I)))
+            ys = fused_rk_multistep_wide(
+                ws, "tsit5", h, n_steps, xp,
+                *ws.pad_params(*fused_params(params)),
+                None, None, cfg.bwd_precision)[:, :, :ws.I]
+            ys = jnp.concatenate([u0[None, None], ys], axis=0)
+            if cfg.substeps != 1:
+                ys = ys[::cfg.substeps]
+            return ys[:, 0, :]
         if use_fused:
             from kanodes_tpu.ops.kdense_pallas import fused_params
             from kanodes_tpu.ops.rk_fused import fused_rk_multistep

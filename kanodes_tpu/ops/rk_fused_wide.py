@@ -582,8 +582,11 @@ def _wide_multistep_bwd_kernel(ws, tab, dt, needed, n_steps, window,
         blk = ys_ref[pl.ds(jnp.maximum(s_lo - 1, 0), window)]
         blk = blk.reshape(window * K, ws.Ipad)
         # row u*K:(u+1)*K holds the INPUT state of step s_lo + u; the
-        # first window of the whole sweep (s_lo == 0) substitutes x0
-        shifted = jnp.concatenate([x0_ref[:], blk[:-K]], axis=0)
+        # first window of the whole sweep (s_lo == 0) substitutes x0.
+        # window == 1 keeps x0 alone: blk[:-K] would be a zero-row
+        # slice, which Mosaic rejects ("positive constant sizes").
+        shifted = x0_ref[:] if window == 1 else \
+            jnp.concatenate([x0_ref[:], blk[:-K]], axis=0)
         Xb = jnp.where(s_lo == 0, shifted, blk)
         gys_win = gys_ref[pl.ds(s_lo, window)].reshape(window * K,
                                                        ws.Ipad)
@@ -810,7 +813,8 @@ def _wide_multistep_bwd_kernel_lr(ws, tab, dt, needed, n_steps, window,
         s_lo = n_steps - window - wi * window
         blk = ys_ref[pl.ds(jnp.maximum(s_lo - 1, 0), window)]
         blk = blk.reshape(window * K, ws.Ipad)
-        shifted = jnp.concatenate([x0_ref[:], blk[:-K]], axis=0)
+        shifted = x0_ref[:] if window == 1 else \
+            jnp.concatenate([x0_ref[:], blk[:-K]], axis=0)
         Xb = jnp.where(s_lo == 0, shifted, blk)
         gys_win = gys_ref[pl.ds(s_lo, window)].reshape(window * K,
                                                        ws.Ipad)

@@ -85,8 +85,10 @@ def test_packed_forward_is_member_independent(impl):
 
 @pytest.mark.parametrize("impl,mode", [("xla", "shooting"),
                                        ("fused", "shooting"),
+                                       ("fused_wide", "shooting"),
                                        ("xla", "fixed"),
-                                       ("fused", "fixed")])
+                                       ("fused", "fixed"),
+                                       ("fused_wide", "fixed")])
 def test_packed_lv_loss_and_grads_match_members(impl, mode):
     (cfg, data, model, members, packed_model, packed,
      pdata) = _lv_setup(solve_mode=mode, impl=impl, segment_len=2)
