@@ -211,6 +211,16 @@ def _claims() -> list[Claim]:
               lambda a: min(r["first_s"] for r in a
                             if r["variant"] == "packed_fused"
                             and r["iters"] == 5000 and r["aot_hit"])),
+        Claim("trend_packed_beats_ref",
+              "EXPERIMENTS: heterogeneous packed trend sweep — 8/8 "
+              "Fig-3C KAN sizes beat the reference in ONE device program",
+              "artifacts/lv_trend_packed.json", 8,
+              lambda a: a["points_beating_reference"], rtol=0.0),
+        Claim("trend_packed_wall",
+              "EXPERIMENTS: packed trend sweep total 25.4 s train "
+              "(sequential same-recipe ~88 s warm)",
+              "artifacts/lv_trend_packed.json", 25.41,
+              lambda a: a["total_seconds"]),
         Claim("packed_wide_steady",
               "EXPERIMENTS: wide-kernel packed steady state 0.197 s per "
               "5000 S=8 ensemble iterations (~25k it/s, min of 5)",
