@@ -196,6 +196,16 @@ def _claims() -> list[Claim]:
               "2.42 s (~2.9k it/s, ~6x the vmapped rung)",
               "artifacts/lv_multiseed_packed.json", 2.42,
               lambda a: a["phase_seconds"][3]),
+        Claim("adaptive_members_speedup",
+              "EXPERIMENTS: per-member adaptive packed S=8 — 8.96x "
+              "per-member over sequential (3,763 member-it/s)",
+              "artifacts/lv_multiseed_adaptive.json", 8.96,
+              lambda a: a["per_member_speedup"]),
+        Claim("adaptive_members_parity",
+              "EXPERIMENTS: packed per-member adaptive loss vector "
+              "bitwise-equal to sequential solves at init (device)",
+              "artifacts/lv_multiseed_adaptive.json", 0.0,
+              lambda a: a["parity_at_init"]["max_rel_loss"], rtol=0.0),
         Claim("packed_wide_first_load",
               "EXPERIMENTS: wide-kernel packed fresh-process first "
               "execution (AOT hit, 5k-iter program) best 12.7 s",
