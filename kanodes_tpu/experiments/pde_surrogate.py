@@ -70,6 +70,13 @@ class SurrogateConfig:
     # "bf16" runs the backward's MXU dots in 1 pass instead of 6 —
     # the measured K=1 trajectory-mode floor (ops/rk_fused_wide).
     bwd_precision: str = "highest"
+    # fused-kernel flavor: None = auto (grid-sliced wide kernels when
+    # in_dims*grid_len > 2048, else the standard whole-RK-step kernels);
+    # True/False force it. Packed ensembles should force True: the
+    # standard kernels' Mosaic binaries pay a 98-613 s fresh-process
+    # first load at packed widths vs 13-57 s for the wide flavor at
+    # equal steady state (artifacts/packed_load_ab.json).
+    wide_kernels: bool | None = None
     max_iters_per_call: int | None = None
     seed: int = 0
     # multi-device training: (dp, sp) mesh sizes. sp shards the GRID
@@ -165,7 +172,8 @@ def make_fns(cfg: SurrogateConfig, model: KANChain,
     snap_rows = np.cumsum(interval_steps) - 1   # post-step rows of ys
 
     impl = cfg.impl
-    wide = model.in_dims * model.layers[0].grid_len > 2048
+    wide = (model.in_dims * model.layers[0].grid_len > 2048
+            if cfg.wide_kernels is None else cfg.wide_kernels)
     fused_trajectory = None
     if impl == "fused" and wide:
         # the standard fused kernel's O(I^2 G) expansion matrix exceeds

@@ -1,0 +1,158 @@
+"""The Burgers surrogate seed sweep as ONE PACKED block-diagonal program.
+
+The LV packed sweep (`scripts/lv_multiseed_packed.py`) measured ~10x
+per-member throughput at LV sizes ([2,10,2] members). This script
+answers VERDICT r4 #4: does the win carry to the WIDE surrogate chains?
+Five [41,10,41] Burgers members ride as block-diagonal weights of one
+[205,50,205] chain through the grid-sliced wide kernels
+(`SurrogateConfig(wide_kernels=True)` — forced, both because the auto
+threshold would pick the standard kernels at 205*5=1025 and because the
+wide flavor loads 4-10x faster in a fresh process,
+artifacts/packed_load_ab.json).
+
+Recipe = the sequential sweep's fast record recipe
+(`scripts/surrogate_seed_robustness.py`: shooting 1e-2 x 10k +
+best-eval capture + 60-iter L-BFGS polish), so per-member results are
+directly comparable to artifacts/surrogate_seed_robustness.json.
+Per-member best capture: train() vector mode records the packed param
+history once per eval; each member's argmin over its own eval column
+is extracted (`models/packed.extract_member`) and polished through the
+SINGLE-member high-precision closure.
+
+Writes artifacts/burgers_multiseed_packed.json.
+Usage: python scripts/burgers_multiseed_packed.py
+One TPU process at a time (CLAUDE.md).
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from kanodes_tpu.experiments.pde_surrogate import (SurrogateConfig,  # noqa: E402
+                                                   make_data, make_fns,
+                                                   make_model)
+from kanodes_tpu.models.packed import (apply_mask, block_mask,  # noqa: E402
+                                       extract_member, member_mean,
+                                       pack_chain, pack_params)
+from kanodes_tpu.train.loop import TrainConfig, train  # noqa: E402
+from kanodes_tpu.train.polish import PolishConfig, polish  # noqa: E402
+
+OUT = "artifacts/burgers_multiseed_packed.json"
+SEEDS = list(range(5))
+PHASES = [("shooting", 1e-2, 10_000)]   # the Burgers fast record recipe
+POLISH_ITERS = 60
+
+
+def main():
+    S = len(SEEDS)
+    base = SurrogateConfig(problem="burgers", impl="fused",
+                           rk_solver="tsit5", substeps=20,
+                           bwd_precision="bf16", wide_kernels=True,
+                           max_iters_per_call=2_000, eval_every=500)
+    data = make_data(base)
+    model = make_model(base, data)
+    packed_model = pack_chain(model, S)
+    pdata = dataclasses.replace(data, X=np.tile(data.X, (1, S)))
+    mask = block_mask(model, S)
+
+    cfg_sh = dataclasses.replace(base, solve_mode="shooting")
+    loss_s, eval_s, _ = make_fns(cfg_sh, packed_model, pdata,
+                                 reduce_fn=member_mean(S))
+    vloss = lambda p: loss_s(apply_mask(mask, p))      # noqa: E731
+    veval = lambda p: eval_s(apply_mask(mask, p))      # noqa: E731
+
+    packed = pack_params(
+        model, [model.init(jax.random.PRNGKey(s)) for s in SEEDS])
+
+    # single-member closures for polish + final per-member metrics
+    cfg_hi = dataclasses.replace(base, solve_mode="fixed",
+                                 bwd_precision="highest")
+    loss_hi, _, _ = make_fns(cfg_hi, model, data)
+
+    t_train0 = time.time()
+    opt_state = None
+    eval_hist, param_hist = [], []
+    for mode, lr, iters in PHASES:
+        if opt_state is not None:
+            opt_state = opt_state._replace(hyperparams={
+                **opt_state.hyperparams,
+                "learning_rate": jnp.asarray(lr, jnp.float32)})
+        out = train(vloss, packed, TrainConfig(
+            lr=lr, iters=iters, eval_every=base.eval_every,
+            max_iters_per_call=base.max_iters_per_call),
+            eval_fn=veval, record_history=True, opt_state=opt_state)
+        jax.block_until_ready(out["loss_history"])
+        packed, opt_state = out["params"], out["opt_state"]
+        eval_hist.append(np.asarray(out["eval_history"]))
+        param_hist.append(out["param_history"])
+    eval_hist = np.concatenate(eval_hist, axis=0)       # [n_evals, S]
+    param_hist = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *param_hist)
+    train_secs = round(time.time() - t_train0, 1)
+
+    # per-member capture + polish through the single-member closures
+    t_pol0 = time.time()
+    runs = []
+    for s, seed in enumerate(SEEDS):
+        k = int(np.argmin(eval_hist[:, s]))
+        snap = jax.tree_util.tree_map(lambda x: x[k], param_hist)
+        member = extract_member(model, snap, S, s)
+        pol = polish(loss_hi, member, PolishConfig(iters=POLISH_ITERS))
+        jax.block_until_ready(pol["params"])
+        runs.append({"seed": seed,
+                     "best_snapshot_mse": float(eval_hist[k, s]),
+                     "capture_eval_index": k,
+                     "polished_snapshot_mse": float(pol["best_loss"])})
+        print(json.dumps(runs[-1]), flush=True)
+    polish_secs = round(time.time() - t_pol0, 1)
+
+    pol = np.asarray([r["polished_snapshot_mse"] for r in runs])
+    seq = None
+    try:
+        with open("artifacts/surrogate_seed_robustness.json") as f:
+            for rec in json.load(f):
+                if rec["problem"] == "burgers":
+                    seq = {"total_seconds":
+                           round(sum(r["seconds"] for r in rec["runs"]), 1),
+                           "polished_snapshot_mse":
+                           rec["polished_snapshot_mse"]}
+    except OSError:
+        pass
+    summary = {
+        "problem": "burgers", "n_seeds": S,
+        "mode": ("packed block-diagonal [205,50,205] via wide kernels "
+                 "(models/packed.py + ops/rk_fused_wide)"),
+        "recipe": "fast(shooting+capture+polish)",
+        "phases": PHASES, "polish_iters": POLISH_ITERS,
+        "train_seconds": train_secs,
+        "polish_seconds": polish_secs,
+        "total_seconds": round(train_secs + polish_secs, 1),
+        "sequential_sweep": seq,
+        "polished_snapshot_mse": {
+            "min": float(pol.min()), "median": float(np.median(pol)),
+            "max": float(pol.max())},
+        "runs": runs,
+    }
+    os.makedirs("artifacts", exist_ok=True)
+    with open(OUT, "w") as f:
+        json.dump(summary, f, indent=1)
+    print("wrote", OUT)
+    print(json.dumps({k: summary[k] for k in
+                      ("train_seconds", "polish_seconds", "total_seconds",
+                       "sequential_sweep", "polished_snapshot_mse")}))
+
+
+if __name__ == "__main__":
+    main()

@@ -149,19 +149,23 @@ def test_packed_train_matches_sequential():
             np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-7)
 
 
-@pytest.mark.parametrize("impl,mode", [("xla", "shooting"),
-                                       ("fused", "fixed")])
-def test_packed_surrogate_loss_matches_members(impl, mode):
+@pytest.mark.parametrize("impl,mode,wide", [("xla", "shooting", None),
+                                            ("fused", "fixed", None),
+                                            ("fused", "shooting", True)])
+def test_packed_surrogate_loss_matches_members(impl, mode, wide):
     """The reduce_fn hook generalizes packing to the PDE surrogates:
     a 2-member packed Burgers chain reproduces each member's own loss
-    and gradients (small 11-point grid)."""
+    and gradients (small 11-point grid). wide=True forces the
+    grid-sliced wide-kernel flavor (`SurrogateConfig.wide_kernels`) —
+    the packed-ensemble production path (first-load mitigation,
+    artifacts/packed_load_ab.json)."""
     from kanodes_tpu.experiments.pde_surrogate import (SurrogateConfig,
                                                        make_data,
                                                        make_fns,
                                                        make_model)
     Sp = 2
     cfg = SurrogateConfig(problem="burgers", impl=impl, solve_mode=mode,
-                          substeps=4, data_dx=0.2)
+                          substeps=4, data_dx=0.2, wide_kernels=wide)
     data = make_data(cfg)
     model = make_model(cfg, data)
     members = [jax.tree_util.tree_map(lambda x: 1e-2 * x,
