@@ -238,6 +238,16 @@ def _claims() -> list[Claim]:
               lambda a: min(r["second_s"] for r in a
                             if r["variant"] == "packed_wide"
                             and r["iters"] == 5000)),
+        Claim("burgers_packed_member_speedup",
+              "EXPERIMENTS: packed Burgers S=5 [205,50,205] wide-kernel "
+              "train — 2.35x per-member over single (7,375 member-it/s)",
+              "artifacts/burgers_multiseed_packed.json", 2.35,
+              lambda a: a["throughput"]["per_member_speedup"]),
+        Claim("burgers_packed_median",
+              "EXPERIMENTS: packed Burgers 5-seed sweep median polished "
+              "snapshot MSE 1.08e-13 (all members record-class)",
+              "artifacts/burgers_multiseed_packed.json", 1.08e-13,
+              lambda a: a["polished_snapshot_mse"]["median"]),
         Claim("lv_adaptive_faithful",
               "README: reference-regime adaptive run (XLA path) 6.6e-7",
               "artifacts/lv_adaptive_full.json", 6.6e-7,
