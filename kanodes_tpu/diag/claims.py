@@ -245,9 +245,15 @@ def _claims() -> list[Claim]:
               lambda a: a["throughput"]["per_member_speedup"]),
         Claim("burgers_packed_median",
               "EXPERIMENTS: packed Burgers 5-seed sweep median polished "
-              "snapshot MSE 1.08e-13 (all members record-class)",
-              "artifacts/burgers_multiseed_packed.json", 1.08e-13,
+              "snapshot MSE 6.2e-13 (all members record-class)",
+              "artifacts/burgers_multiseed_packed.json", 6.24e-13,
               lambda a: a["polished_snapshot_mse"]["median"]),
+        Claim("burgers_packed_wall",
+              "EXPERIMENTS: packed Burgers sweep end-to-end 57.8 s vs "
+              "82.0 s sequential — vmapped polish_members closes the "
+              "polish-dominated tail",
+              "artifacts/burgers_multiseed_packed.json", 57.8,
+              lambda a: a["total_seconds"]),
         Claim("lv_adaptive_faithful",
               "README: reference-regime adaptive run (XLA path) 6.6e-7",
               "artifacts/lv_adaptive_full.json", 6.6e-7,

@@ -33,14 +33,10 @@ class PolishConfig:
     linesearch_steps: int = 20
 
 
-def polish(loss_fn: Callable[[Any], jax.Array], params: Any,
-           cfg: PolishConfig = PolishConfig()) -> dict:
-    """L-BFGS-polish `params` against scalar `loss_fn`.
-
-    Returns {params, best_loss, loss_history}; `params` are the
-    best-so-far (lowest loss seen, including the starting point —
-    polish never returns something worse than its input).
-    """
+def _make_run(loss_fn: Callable[[Any], jax.Array], cfg: PolishConfig):
+    """The single-start L-BFGS scan as a pure function p0 -> (best_p,
+    best_v, history). Shared by `polish` (jit) and `polish_members`
+    (jit of vmap)."""
     opt = optax.lbfgs(
         memory_size=cfg.memory_size,
         linesearch=optax.scale_by_zoom_linesearch(
@@ -64,7 +60,6 @@ def polish(loss_fn: Callable[[Any], jax.Array], params: Any,
         p = optax.apply_updates(p, updates)
         return (p, state, best_p, best_v), value
 
-    @jax.jit
     def run(p0):
         v0 = loss_fn(p0)
         state = opt.init(p0)
@@ -76,6 +71,45 @@ def polish(loss_fn: Callable[[Any], jax.Array], params: Any,
         best_p, best_v = _take_better(vf < best_v, p, vf, best_p, best_v)
         return best_p, best_v, history
 
-    best_p, best_v, history = run(params)
+    return run
+
+
+def polish(loss_fn: Callable[[Any], jax.Array], params: Any,
+           cfg: PolishConfig = PolishConfig()) -> dict:
+    """L-BFGS-polish `params` against scalar `loss_fn`.
+
+    Returns {params, best_loss, loss_history}; `params` are the
+    best-so-far (lowest loss seen, including the starting point —
+    polish never returns something worse than its input).
+    """
+    best_p, best_v, history = jax.jit(_make_run(loss_fn, cfg))(params)
+    return {"params": best_p, "best_loss": best_v,
+            "loss_history": history}
+
+
+def polish_members(loss_fn: Callable[[Any], jax.Array], stacked_params: Any,
+                   cfg: PolishConfig = PolishConfig()) -> dict:
+    """Polish S members SIMULTANEOUSLY: one jitted vmap of the
+    single-member L-BFGS scan over a leading member axis.
+
+    `loss_fn` is the SINGLE-member loss; `stacked_params` is a tree
+    whose every leaf carries a leading member axis (the layout produced
+    by `jax.tree.map(lambda *xs: jnp.stack(xs), *member_trees)`). Each
+    member runs its own zoom line search — under vmap the line-search
+    while_loops execute until the slowest member finishes, with
+    already-converged members masked, so per-member trajectories match
+    sequential `polish` up to batched-GEMM rounding.
+
+    Why this exists: ensemble capture flows (e.g.
+    `scripts/burgers_multiseed_packed.py`) polish one snapshot per seed;
+    sequential `polish` calls each pay a fresh jit compile and a
+    separate device dispatch chain. One vmapped program compiles once
+    and amortizes the launch-latency-bound scan across members (the
+    same lever as the packed training itself).
+
+    Returns {params, best_loss [S], loss_history [S, iters]}.
+    """
+    run_v = jax.jit(jax.vmap(_make_run(loss_fn, cfg)))
+    best_p, best_v, history = run_v(stacked_params)
     return {"params": best_p, "best_loss": best_v,
             "loss_history": history}

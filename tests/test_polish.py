@@ -4,7 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from kanodes_tpu.train.polish import PolishConfig, polish
+from kanodes_tpu.train.polish import PolishConfig, polish, polish_members
 
 
 def _rosenbrock(p):
@@ -57,3 +57,49 @@ def test_polish_beats_adam_tail_on_lv_like_least_squares():
     out = polish(loss, w, PolishConfig(iters=50))
     assert float(out["best_loss"]) < adam_floor * 0.5, (
         float(out["best_loss"]), adam_floor)
+
+
+def test_polish_members_matches_sequential():
+    """One vmapped polish over S starts runs the same per-member math
+    as S sequential polishes: short-horizon iterate parity (before f32
+    rounding can diverge trajectories on the ill-conditioned banana),
+    then convergence parity to the floor on a well-behaved objective."""
+    starts = [{"x": jnp.full(3, 0.1 * s), "y": jnp.full(3, -0.05 * s)}
+              for s in range(4)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *starts)
+
+    # (a) 5-iter loss-history parity on Rosenbrock
+    cfg5 = PolishConfig(iters=5)
+    seq5 = [polish(_rosenbrock, p, cfg5) for p in starts]
+    out5 = polish_members(_rosenbrock, stacked, cfg5)
+    assert out5["best_loss"].shape == (4,)
+    assert out5["loss_history"].shape == (4, 5)
+    for s, r in enumerate(seq5):
+        np.testing.assert_allclose(np.asarray(out5["loss_history"][s]),
+                                   np.asarray(r["loss_history"]),
+                                   rtol=1e-4, atol=1e-7)
+
+    # (b) both flows reach the same floor on a smooth least-squares
+    A = jax.random.normal(jax.random.PRNGKey(0), (20, 8))
+    w_true = jax.random.normal(jax.random.PRNGKey(1), (8,))
+
+    def loss(w):
+        return jnp.mean((A @ w - A @ w_true) ** 2)
+
+    ws = [0.3 * jax.random.normal(jax.random.PRNGKey(10 + s), (8,))
+          for s in range(4)]
+    cfg = PolishConfig(iters=40)
+    seq = [polish(loss, w, cfg) for w in ws]
+    out = polish_members(loss, jnp.stack(ws), cfg)
+    for s, r in enumerate(seq):
+        assert float(r["best_loss"]) < 1e-10
+        assert float(out["best_loss"][s]) < 1e-10
+
+
+def test_polish_members_never_worse_than_inputs():
+    stacked = {"x": jnp.stack([jnp.ones(2), jnp.zeros(2)]),
+               "y": jnp.stack([jnp.ones(2), jnp.zeros(2)])}
+    out = polish_members(_rosenbrock, stacked, PolishConfig(iters=3))
+    for s in range(2):
+        v0 = float(_rosenbrock(jax.tree.map(lambda l: l[s], stacked)))
+        assert float(out["best_loss"][s]) <= v0
