@@ -175,6 +175,7 @@ def run_sweep(points=KAN_SWEEP + MLP_SWEEP, **kw) -> list[dict]:
 def packed_trend_sweep(points=KAN_SWEEP, *, shooting_iters: int = 10_000,
                        seg4_iters: int = 6_000, traj_iters: int = 6_000,
                        seed: int = 0, lr_factors=None,
+                       polish_iters: int = 0,
                        on_phase=None) -> dict[str, Any]:
     """The Fig-3C KAN d=2 trend sweep as ONE device program.
 
@@ -193,6 +194,13 @@ def packed_trend_sweep(points=KAN_SWEEP, *, shooting_iters: int = 10_000,
     `lr_factors` optionally trains members under per-member learning
     rates (`train(..., lr_scales=...)`); the default recipe is the
     `train_point` KAN curriculum shared by all members.
+
+    `polish_iters > 0` appends a mask-aware packed L-BFGS stage
+    (`train.packed_polish.polish_packed`): all members polish
+    SIMULTANEOUSLY with per-member curvature histories and line
+    searches — the heterogeneous analogue of `polish_members`, which
+    needs a stacked (same-shape) layout the trend sweep doesn't have.
+    Per-point results then also carry polished_{train,test}_loss.
 
     Returns {"results": [per-point dicts matching run_sweep's schema],
     "total_seconds", "phase_seconds"}.
@@ -243,6 +251,22 @@ def packed_trend_sweep(points=KAN_SWEEP, *, shooting_iters: int = 10_000,
         phase_secs.append(round(time.time() - tp, 2))
         if on_phase is not None:
             on_phase(pi, out)
+
+    polished = None
+    polish_secs = None
+    if polish_iters:
+        from kanodes_tpu.train.packed_polish import (PackedPolishConfig,
+                                                     polish_packed)
+        loss_v, _, _ = lv_mod.make_ode_fns(phases[-1], hp, pdata,
+                                           reduce_fn=reduce_fn)
+        tp = time.time()
+        pol = polish_packed(
+            lambda p: loss_v(apply_mask(mask, p)), params,
+            ids=hp.member_ids(), mask=mask, n_members=len(points),
+            cfg=PackedPolishConfig(iters=polish_iters))
+        jax.block_until_ready(pol["best_loss"])
+        polish_secs = round(time.time() - tp, 2)
+        polished = pol["params"]
     total = time.time() - t0
 
     results = []
@@ -250,15 +274,24 @@ def packed_trend_sweep(points=KAN_SWEEP, *, shooting_iters: int = 10_000,
         mp = hp.extract_member(params, s)
         eval_cfg = dataclasses.replace(c, solve_mode="fixed")
         loss_fn, eval_fn, _ = lv_mod.make_ode_fns(eval_cfg, m, data)
-        results.append({
+        row = {
             "model": "kan", "depth": 2,
             "layer_width": p.layer_width, "grid_size": p.grid_size,
             "n_params": m.num_params(),
             "train_loss": float(loss_fn(mp)),
             "test_loss": float(eval_fn(mp)),
-        })
-    return {"results": results, "total_seconds": round(total, 2),
-            "phase_seconds": phase_secs, "n_members": len(points)}
+        }
+        if polished is not None:
+            pp = hp.extract_member(polished, s)
+            row["polished_train_loss"] = float(loss_fn(pp))
+            row["polished_test_loss"] = float(eval_fn(pp))
+        results.append(row)
+    out = {"results": results, "total_seconds": round(total, 2),
+           "phase_seconds": phase_secs, "n_members": len(points)}
+    if polish_secs is not None:
+        out["polish_seconds"] = polish_secs
+        out["polish_iters"] = polish_iters
+    return out
 
 
 def ensemble_seeds(n: int = 8, *, iters: int = 5000, lr: float = 3e-3,

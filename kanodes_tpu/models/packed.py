@@ -145,6 +145,21 @@ def tile_state(x: Array, n_members: int) -> Array:
     return jnp.tile(x, (1,) * (x.ndim - 1) + (n_members,))
 
 
+def member_ids(chain: KANChain, n_members: int) -> list:
+    """Int32 member-index tree with the packed params' structure:
+    member s's block entries carry the value s. Off-block entries carry
+    0 — always pair with `block_mask`, which zeroes them, so the
+    ambiguity with member 0 never matters (`train/packed_polish.py`
+    consumes (ids, mask) together)."""
+    _check(chain)
+    one = [{k: jnp.ones_like(v) for k, v in p.items()}
+           for p in chain.init(jax.random.PRNGKey(0))]
+    trees = [jax.tree_util.tree_map(lambda x, s=float(s): x * s, one)
+             for s in range(n_members)]
+    return jax.tree_util.tree_map(lambda x: x.astype(jnp.int32),
+                                  pack_params(chain, trees))
+
+
 def member_lr_scales(chain: KANChain, factors) -> list:
     """Per-member learning-rate factor tree for the (homogeneous) packed
     layout: every entry of member s's blocks carries `factors[s]`
@@ -329,6 +344,17 @@ class HeteroPacked:
                 for p in m.init(jax.random.PRNGKey(0))]
                for m in self.members]
         return self.pack(one)
+
+    def member_ids(self) -> list:
+        """Int32 member-index tree (heterogeneous analogue of the
+        module-level `member_ids`); pair with `mask()` — off-block and
+        padded-grid entries carry 0 there."""
+        trees = [jax.tree_util.tree_map(
+            lambda x, s=float(s): jnp.ones_like(x) * s,
+            m.init(jax.random.PRNGKey(0)))
+            for s, m in enumerate(self.members)]
+        return jax.tree_util.tree_map(lambda x: x.astype(jnp.int32),
+                                      self.pack(trees))
 
     def lr_scales(self, factors) -> list:
         trees = [jax.tree_util.tree_map(

@@ -13,10 +13,13 @@ SURVEY §2.9's DP promise ("train the A2 sweep of KAN sizes as one
 sharded vmap") in its stronger packed form.
 
 Writes artifacts/lv_trend_packed.json.
-Usage: python scripts/lv_trend_packed.py [--lr-factors]
+Usage: python scripts/lv_trend_packed.py [--lr-factors] [--polish N]
   --lr-factors additionally records a variant trained under per-member
   learning rates (width-scaled), exercising `train(lr_scales=...)` on
   device.
+  --polish N appends the mask-aware packed L-BFGS stage
+  (`train.packed_polish`): all 8 heterogeneous members polish
+  SIMULTANEOUSLY with per-member curvature + line searches.
 One TPU process at a time (CLAUDE.md).
 """
 
@@ -48,8 +51,14 @@ def annotate(rows):
 
 
 def main():
+    polish_iters = 0
+    if "--polish" in sys.argv:
+        i = sys.argv.index("--polish")
+        if i + 1 >= len(sys.argv):
+            sys.exit("usage: --polish N")
+        polish_iters = int(sys.argv[i + 1])
     t0 = time.time()
-    out = packed_trend_sweep(KAN_SWEEP)
+    out = packed_trend_sweep(KAN_SWEEP, polish_iters=polish_iters)
     out["points_beating_reference"] = annotate(out["results"])
     out["wall_seconds"] = round(time.time() - t0, 2)
     out["device"] = jax.devices()[0].device_kind
@@ -67,13 +76,18 @@ def main():
         }
 
     for r in out["results"]:
+        pol = (f" polished {r['polished_train_loss']:.2e}"
+               if "polished_train_loss" in r else "")
         print(f"[{r['n_params']:>4} params w={r['layer_width']:>2} "
               f"g={r['grid_size']}] train {r['train_loss']:.2e} "
-              f"test {r['test_loss']:.2e}  ref {r['reference_loss']:.1e} "
+              f"test {r['test_loss']:.2e}{pol}  "
+              f"ref {r['reference_loss']:.1e} "
               f"{'BEAT' if r['beats_reference'] else 'MISS'}")
     print(f"{out['points_beating_reference']}/8 beat the reference; "
           f"one program, {out['total_seconds']} s train "
-          f"(phases {out['phase_seconds']})")
+          f"(phases {out['phase_seconds']}"
+          + (f", polish {out['polish_seconds']} s" if polish_iters else "")
+          + ")")
 
     if "--lr-factors" in sys.argv:
         # width-scaled per-member lr: larger members train colder
