@@ -227,10 +227,28 @@ def _claims() -> list[Claim]:
               "artifacts/lv_trend_packed.json", 8,
               lambda a: a["points_beating_reference"], rtol=0.0),
         Claim("trend_packed_wall",
-              "EXPERIMENTS: packed trend sweep total 25.4 s train "
+              "EXPERIMENTS: packed trend sweep 17.6 s train "
               "(sequential same-recipe ~88 s warm)",
-              "artifacts/lv_trend_packed.json", 25.41,
+              "artifacts/lv_trend_packed.json", 17.61,
               lambda a: a["total_seconds"]),
+        Claim("trend_packed_polish_wall",
+              "EXPERIMENTS: packed L-BFGS polish of all 8 heterogeneous "
+              "members simultaneously in 15.0 s (200 iters)",
+              "artifacts/lv_trend_packed.json", 14.98,
+              lambda a: a["polish_seconds"]),
+        Claim("trend_packed_polish_no_worse",
+              "EXPERIMENTS: packed polish never worsens a member "
+              "(per-member best-so-far) — 8/8 polished <= Adam endpoint",
+              "artifacts/lv_trend_packed.json", 8,
+              lambda a: sum(r["polished_train_loss"]
+                            <= r["train_loss"] * (1 + 1e-9)
+                            for r in a["results"]), rtol=0.0),
+        Claim("trend_packed_polish_best",
+              "EXPERIMENTS: packed-polished 240-param member reaches "
+              "1.20e-8 train (reference 8.3e-7: 69x)",
+              "artifacts/lv_trend_packed.json", 1.20e-8,
+              lambda a: min(r["polished_train_loss"]
+                            for r in a["results"])),
         Claim("packed_wide_steady",
               "EXPERIMENTS: wide-kernel packed steady state 0.197 s per "
               "5000 S=8 ensemble iterations (~25k it/s, min of 5)",

@@ -251,6 +251,8 @@ def packed_trend_sweep(points=KAN_SWEEP, *, shooting_iters: int = 10_000,
         phase_secs.append(round(time.time() - tp, 2))
         if on_phase is not None:
             on_phase(pi, out)
+    total = time.time() - t0     # train-only (claims pin this); the
+                                 # polish stage reports its own time
 
     polished = None
     polish_secs = None
@@ -267,7 +269,6 @@ def packed_trend_sweep(points=KAN_SWEEP, *, shooting_iters: int = 10_000,
         jax.block_until_ready(pol["best_loss"])
         polish_secs = round(time.time() - tp, 2)
         polished = pol["params"]
-    total = time.time() - t0
 
     results = []
     for s, (p, c, m) in enumerate(zip(points, cfgs, members)):
