@@ -164,10 +164,14 @@ def make_ode_fns(cfg: LVConfig, model, data, *, reduce_fn=None,
 
     `n_members` declares the packed-ensemble member count; adaptive
     solve modes REQUIRE it with a `reduce_fn` — the solve then routes
-    through `ode.odeint_members` (one independent step controller per
-    member, the reference-faithful protocol applied member-wise). With
-    `n_members=None`, adaptive + reduce_fn raises: the single shared
-    controller would silently couple the members through dt.
+    through one independent step controller per member (the
+    reference-faithful protocol applied member-wise): impl="fused"
+    runs the whole per-member controller loop as ONE kernel launch
+    (+ one backward, `ops.rk_adaptive_fused.fused_adaptive_members_
+    odeint`); other impls use the XLA bounded scan
+    (`ode.odeint_members`). With `n_members=None`, adaptive +
+    reduce_fn raises: the single shared controller would silently
+    couple the members through dt.
     """
     _reduce = reduce_fn if reduce_fn is not None else jnp.mean
     if reduce_fn is not None and cfg.sparse_on:
@@ -230,12 +234,24 @@ def make_ode_fns(cfg: LVConfig, model, data, *, reduce_fn=None,
             # with the grid (the train grid uses cfg.max_steps as-is)
             ms = max(cfg.max_steps, 2 * int(t_grid.shape[0]))
             if n_members is not None:
-                # packed ensemble, one controller per member. The
-                # whole-solve fused kernel shares a single controller,
-                # so the fused/pallas impls route through the stage-wise
-                # fused-chain RHS instead (one Pallas launch per stage).
+                # packed ensemble, one controller per member
+                if cfg.model == "kan" and cfg.impl == "fused":
+                    # whole per-member controller loop + its discrete
+                    # adjoint as ONE kernel launch each — the fused
+                    # analogue of odeint_members (homogeneous packs:
+                    # one shared grid is pack_chain's contract)
+                    from kanodes_tpu.ode.integrate import StepController
+                    from kanodes_tpu.ops.kdense_pallas import fused_params
+                    from kanodes_tpu.ops.rk_adaptive_fused import \
+                        fused_adaptive_members_odeint
+                    ys = fused_adaptive_members_odeint(
+                        spec, "tsit5", cfg.rtol, cfg.atol, ms,
+                        StepController(), None, n_members, u0[None],
+                        t_grid, *fused_params(params),
+                        None, cfg.bwd_precision)
+                    return ys[:, 0, :]
                 from kanodes_tpu.ode import odeint_members
-                if cfg.model == "kan" and cfg.impl in ("fused", "pallas"):
+                if cfg.model == "kan" and cfg.impl == "pallas":
                     from kanodes_tpu.ops.kdense_pallas import kan_chain_rhs
                     rhs_m = kan_chain_rhs(model)
                 else:

@@ -418,3 +418,33 @@ def test_packed_rejects_trainable_grid_and_vector_sparse():
     data = make_data(cfg)
     with pytest.raises(ValueError):
         make_ode_fns(cfg, model, data, reduce_fn=member_mean(2))
+
+
+def test_packed_adaptive_fused_impl_matches_xla():
+    """impl='fused' routes the packed adaptive solve through the
+    whole-loop per-member kernel (fused_adaptive_members_odeint);
+    losses, evals and gradients match the XLA odeint_members route."""
+    (cfg, data, model, members, packed_model, packed,
+     pdata) = _lv_setup(solve_mode="adaptive", impl="fused", max_steps=96)
+    loss_f, eval_f, _ = make_ode_fns(cfg, packed_model, pdata,
+                                     reduce_fn=member_mean(S),
+                                     n_members=S)
+    import dataclasses as dc
+    cfg_x = dc.replace(cfg, impl="xla")
+    loss_x, eval_x, _ = make_ode_fns(cfg_x, packed_model, pdata,
+                                     reduce_fn=member_mean(S),
+                                     n_members=S)
+    mask = block_mask(model, S)
+    mp = apply_mask(mask, packed)
+    np.testing.assert_allclose(loss_f(mp), loss_x(mp), rtol=3e-5)
+    np.testing.assert_allclose(eval_f(mp), eval_x(mp), rtol=3e-5)
+    gf = jax.grad(lambda p: jnp.sum(loss_f(apply_mask(mask, p))))(packed)
+    gx = jax.grad(lambda p: jnp.sum(loss_x(apply_mask(mask, p))))(packed)
+    # off-block gradients stay exactly zero through the fused kernel
+    for m, gl in zip(jax.tree_util.tree_leaves(mask),
+                     jax.tree_util.tree_leaves(gf)):
+        np.testing.assert_array_equal(np.asarray(gl)[np.asarray(m) == 0],
+                                      0.0)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gx)):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=5e-5)
