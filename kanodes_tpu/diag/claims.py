@@ -206,6 +206,27 @@ def _claims() -> list[Claim]:
               "bitwise-equal to sequential solves at init (device)",
               "artifacts/lv_multiseed_adaptive.json", 0.0,
               lambda a: a["parity_at_init"]["max_rel_loss"], rtol=0.0),
+        Claim("adaptive_members_fused_speedup",
+              "EXPERIMENTS: FUSED per-member adaptive packed S=8 — "
+              "39.85x per-member over sequential (16,732 member-it/s)",
+              "artifacts/lv_adaptive_members_fused.json", 39.85,
+              lambda a: a["per_member_speedup_vs_sequential"]),
+        Claim("adaptive_members_fused_over_xla",
+              "EXPERIMENTS: fused members kernel 4.43x the XLA packed "
+              "per-member adaptive route (2,091 vs 472 it/s)",
+              "artifacts/lv_adaptive_members_fused.json", 4.43,
+              lambda a: a["fused_over_xla"]),
+        Claim("adaptive_members_fused_parity",
+              "EXPERIMENTS: fused members loss vector 1.08e-6 max rel "
+              "vs the XLA packed route at init (device)",
+              "artifacts/lv_adaptive_members_fused.json", 1.08e-6,
+              lambda a:
+              a["parity_at_init_vs_xla_packed"]["max_rel_loss"]),
+        Claim("adaptive_members_fused_first_load",
+              "EXPERIMENTS: fused members fresh-process first execution "
+              "3.99 s (no packed-shape 85-300 s stall)",
+              "artifacts/lv_adaptive_members_fused.json", 3.99,
+              lambda a: a["first_exec_seconds"]),
         Claim("packed_wide_first_load",
               "EXPERIMENTS: wide-kernel packed fresh-process first "
               "execution (AOT hit, 5k-iter program) best 12.7 s",
